@@ -1,0 +1,175 @@
+"""Model configuration for the VTP family.
+
+Field-compatible with the reference HF config
+(``vtp/models/vtp_hf/configuration_vtp.py:67-114``) so that released
+checkpoints' ``config.json`` files load directly, but implemented as a
+plain frozen dataclass (no transformers dependency in the hot path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class VTPConfig:
+    """Configuration for a VTP model (vision trunk + pixel decoder + text tower).
+
+    Defaults are VTP-Base-f16d64, matching the reference
+    (configuration_vtp.py:67-114).
+    """
+
+    # General
+    image_size: int = 256
+    train_clip: bool = True
+    train_reconstruction: bool = True
+
+    # Vision encoder (DINOv3 ViT with bottleneck)
+    vision_patch_size: int = 16
+    vision_embed_dim: int = 768
+    vision_depth: int = 12
+    vision_num_heads: int = 12
+    vision_mlp_ratio: float = 4.0
+    vision_ffn_layer: str = "swiglu"
+    vision_norm_layer: str = "rmsnorm"
+    vision_init_values: Optional[float] = None
+    vision_use_qk_norm: bool = False
+    vision_feature_bottleneck: int = 64
+    vision_bottleneck_ae_only: bool = True
+    vision_clip_feat: str = "cls"
+    vision_n_storage_tokens: int = 0
+    vision_qkv_bias: bool = True
+    vision_proj_bias: bool = True
+    vision_ffn_bias: bool = True
+    vision_mask_k_bias: bool = False
+    vision_untie_cls_and_patch_norms: bool = False
+    vision_untie_global_and_local_cls_norm: bool = False
+
+    # RoPE (shared defaults between trunk and decoder; reference
+    # embeddings.py:86-195)
+    rope_base: Optional[float] = 100.0
+    rope_min_period: Optional[float] = None
+    rope_max_period: Optional[float] = None
+    rope_normalize_coords: str = "separate"
+    rope_shift_coords: Optional[float] = None
+    rope_jitter_coords: Optional[float] = None
+    rope_rescale_coords: Optional[float] = None
+    rope_dtype: str = "bf16"
+
+    # Text encoder (CLIP-style)
+    text_context_length: int = 77
+    text_vocab_size: int = 49408
+    text_embed_dim: int = 768
+    text_num_heads: int = 12
+    text_depth: int = 12
+    text_mlp_ratio: float = 4.0
+    text_ls_init_value: Optional[float] = None
+    text_embed_cls: bool = False
+    text_pad_id: int = 0
+    text_no_causal_mask: bool = False
+    text_pool_type: str = "argmax"
+    text_proj_type: str = "linear"
+    text_proj_bias: bool = False
+    text_output_tokens: bool = False
+    text_quick_gelu: bool = False
+
+    # Pixel decoder
+    decoder_embed_dim: int = 768
+    decoder_num_heads: int = 12
+    decoder_depth: int = 12
+    decoder_ffn_layer: str = "swiglu"
+    decoder_norm_layer: str = "layernorm"
+    decoder_init_values: Optional[float] = None
+    decoder_use_qk_norm: bool = False
+    decoder_upscale_factor: int = 16
+    decoder_out_chans: int = 3
+    decoder_mlp_ratio: float = 4.0
+    decoder_qkv_bias: bool = True
+    decoder_proj_bias: bool = True
+    decoder_ffn_bias: bool = True
+
+    # Runtime
+    init_logit_scale: Optional[float] = None
+    init_logit_bias: Optional[float] = None
+    nonscalar_logit_scale: bool = False
+
+    # ---------------------------------------------------------------- utils
+
+    @property
+    def vision_head_dim(self) -> int:
+        return self.vision_embed_dim // self.vision_num_heads
+
+    @property
+    def decoder_head_dim(self) -> int:
+        return self.decoder_embed_dim // self.decoder_num_heads
+
+    @property
+    def latent_grid(self) -> int:
+        return self.image_size // self.vision_patch_size
+
+    def replace(self, **kw: Any) -> "VTPConfig":
+        return dataclasses.replace(self, **kw)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "VTPConfig":
+        names = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in names})
+
+    @classmethod
+    def from_hf_json(cls, path: str) -> "VTPConfig":
+        """Load from a HF-style ``config.json`` written by the reference."""
+        if os.path.isdir(path):
+            path = os.path.join(path, "config.json")
+        with open(path) as f:
+            return cls.from_dict(json.load(f))
+
+
+def _decoder_for(size: str) -> Dict[str, Any]:
+    # Reference pixel-decoder factories (decoders/pixel_decoder.py:166-214);
+    # all VTP tokenizers use upscale_factor=16 (f16).
+    dims = {
+        "small": dict(decoder_embed_dim=384, decoder_depth=12, decoder_num_heads=6),
+        "base": dict(decoder_embed_dim=768, decoder_depth=12, decoder_num_heads=12),
+        "large": dict(decoder_embed_dim=1024, decoder_depth=24, decoder_num_heads=16),
+    }
+    return dims[size]
+
+
+def vtp_small(**kw: Any) -> VTPConfig:
+    """VTP-S-f16d64: ViT-S trunk (vision_transformer.py:328)."""
+    base = dict(
+        vision_embed_dim=384, vision_depth=12, vision_num_heads=6,
+        text_embed_dim=768, text_depth=12, text_num_heads=12,
+        **_decoder_for("small"),
+    )
+    base.update(kw)
+    return VTPConfig(**base)
+
+
+def vtp_base(**kw: Any) -> VTPConfig:
+    """VTP-B-f16d64 (the reference config defaults)."""
+    return VTPConfig(**kw)
+
+
+def vtp_large(**kw: Any) -> VTPConfig:
+    """VTP-L-f16d64: ViT-L trunk (vision_transformer.py:352)."""
+    base = dict(
+        vision_embed_dim=1024, vision_depth=24, vision_num_heads=16,
+        text_embed_dim=768, text_depth=12, text_num_heads=12,
+        **_decoder_for("large"),
+    )
+    base.update(kw)
+    return VTPConfig(**base)
+
+
+PRESETS = {
+    "vtp-small": vtp_small,
+    "vtp-base": vtp_base,
+    "vtp-large": vtp_large,
+}

@@ -1,0 +1,339 @@
+"""DINOv3-style transformer blocks, stacked for ``lax.scan``.
+
+Behavioral reference: ``vtp/models/layers/block.py:137-308``
+(SelfAttentionBlock incl. multi-crop list forward and stochastic-depth
+batch-subset sampling) and ``vtp/models/layers/attention.py:41-126``
+(SelfAttention with RoPE prefix handling).
+
+TPU-first design choices:
+  * Per-layer parameters are stacked along a leading ``depth`` axis and
+    consumed by ``lax.scan`` — one block is compiled once regardless of
+    depth, and XLA pipelines the layer loop.
+  * Multi-crop lists are packed into a single ``(sum B_i*N_i, D)``
+    matrix for every GEMM/norm (the reference's cat_keep_shapes trick,
+    models/utils/utils.py:14-25) so crops of different resolution share
+    one MXU-sized matmul; attention runs per crop (static shapes).
+  * Stochastic depth keeps a *statically shaped* random batch subset
+    (keep counts are Python ints), replacing the reference's
+    DDP-broadcast allocation dance (block.py:20-118) with a
+    deterministic equal-per-shard allocation from a shared PRNG key.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vtp_tpu.models.initializers import linear_init, trunc_normal
+from vtp_tpu.ops.activations import ACT
+from vtp_tpu.ops.attention import sdpa
+from vtp_tpu.ops.ffn import ffn_align_to, linear, mlp, swiglu, swiglu_hidden_dim
+from vtp_tpu.ops.norms import apply_norm, norm_eps
+from vtp_tpu.ops.rope import apply_rope_with_prefix
+from vtp_tpu.ops.norms import rms_norm
+
+Rope = Optional[Tuple[jax.Array, jax.Array]]
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockConfig:
+    dim: int
+    num_heads: int
+    ffn_ratio: float = 4.0
+    ffn_layer: str = "swiglu"  # mlp | swiglu | swiglu32 | swiglu64 | swiglu128
+    norm_kind: str = "rmsnorm"  # layernorm | layernormbf16 | rmsnorm
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    ffn_bias: bool = True
+    layerscale_init: Optional[float] = None
+    use_qk_norm: bool = False
+    act: str = "gelu"
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    @property
+    def eps(self) -> float:
+        return norm_eps(self.norm_kind)
+
+    @property
+    def ffn_hidden(self) -> int:
+        if self.ffn_layer == "mlp":
+            return int(self.dim * self.ffn_ratio)
+        return swiglu_hidden_dim(self.dim, self.ffn_ratio, ffn_align_to(self.ffn_layer))
+
+
+# ----------------------------------------------------------------- init
+
+
+def _norm_init(cfg: BlockConfig) -> dict:
+    p = {"scale": jnp.ones((cfg.dim,), jnp.float32)}
+    if cfg.norm_kind != "rmsnorm":
+        p["bias"] = jnp.zeros((cfg.dim,), jnp.float32)
+    return p
+
+
+def init_block_params(key: jax.Array, cfg: BlockConfig) -> dict:
+    k = jax.random.split(key, 8)
+    d = cfg.dim
+    p = {
+        "norm1": _norm_init(cfg),
+        "norm2": _norm_init(cfg),
+        "attn": {
+            "qkv": linear_init(k[0], d, 3 * d, bias=cfg.qkv_bias),
+            "proj": linear_init(k[1], d, d, bias=cfg.proj_bias),
+        },
+    }
+    if cfg.use_qk_norm:
+        p["attn"]["q_norm"] = {"scale": jnp.ones((cfg.head_dim,), jnp.float32)}
+        p["attn"]["k_norm"] = {"scale": jnp.ones((cfg.head_dim,), jnp.float32)}
+    if cfg.ffn_layer == "mlp":
+        p["mlp"] = {
+            "fc1": linear_init(k[2], d, cfg.ffn_hidden, bias=cfg.ffn_bias),
+            "fc2": linear_init(k[3], cfg.ffn_hidden, d, bias=cfg.ffn_bias),
+        }
+    else:
+        p["mlp"] = {
+            "w1": linear_init(k[2], d, cfg.ffn_hidden, bias=cfg.ffn_bias),
+            "w2": linear_init(k[4], d, cfg.ffn_hidden, bias=cfg.ffn_bias),
+            "w3": linear_init(k[5], cfg.ffn_hidden, d, bias=cfg.ffn_bias),
+        }
+    if cfg.layerscale_init is not None:
+        p["ls1"] = {"gamma": jnp.full((d,), cfg.layerscale_init, jnp.float32)}
+        p["ls2"] = {"gamma": jnp.full((d,), cfg.layerscale_init, jnp.float32)}
+    return p
+
+
+def init_stacked_blocks(key: jax.Array, cfg: BlockConfig, depth: int) -> dict:
+    keys = jax.random.split(key, depth)
+    return jax.vmap(lambda kk: init_block_params(kk, cfg))(keys)
+
+
+# ------------------------------------------------------------- packing
+
+
+def pack(xs: Sequence[jax.Array]) -> Tuple[jax.Array, List[Tuple[int, int]]]:
+    """List of ``(B_i, N_i, D)`` -> ``(sum B_i*N_i, D)`` + shapes."""
+    shapes = [(int(x.shape[0]), int(x.shape[1])) for x in xs]
+    flat = [x.reshape(-1, x.shape[-1]) for x in xs]
+    if len(flat) == 1:
+        return flat[0], shapes
+    return jnp.concatenate(flat, axis=0), shapes
+
+
+def unpack(flat: jax.Array, shapes: List[Tuple[int, int]]) -> List[jax.Array]:
+    out, off = [], 0
+    d = flat.shape[-1]
+    for b, n in shapes:
+        out.append(jax.lax.slice_in_dim(flat, off, off + b * n, axis=0).reshape(b, n, d))
+        off += b * n
+    return out
+
+
+# ----------------------------------------------------------- attention
+
+
+def attention_apply(
+    flat_normed: jax.Array,
+    shapes: List[Tuple[int, int]],
+    p: dict,
+    cfg: BlockConfig,
+    ropes: Sequence[Rope],
+    compute_dtype: Optional[jnp.dtype],
+) -> jax.Array:
+    """qkv GEMM on the packed matrix, per-crop SDPA, packed out-proj —
+    mirrors ``SelfAttention.forward_list`` (attention.py:98-108)."""
+    nh, hd = cfg.num_heads, cfg.head_dim
+    qkv_flat = linear(flat_normed, p["qkv"], compute_dtype)
+    outs = []
+    for (b, n), rope in zip(shapes, ropes):
+        off = sum(bb * nn for bb, nn in shapes[: len(outs)])
+        qkv = jax.lax.slice_in_dim(qkv_flat, off, off + b * n, axis=0)
+        qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        if cfg.use_qk_norm:
+            q = rms_norm(q, p["q_norm"]["scale"])
+            k = rms_norm(k, p["k_norm"]["scale"])
+        if rope is not None:
+            q, k = apply_rope_with_prefix(q, k, rope[0], rope[1])
+        if compute_dtype is not None:
+            q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
+        o = sdpa(q, k, v)
+        outs.append(o.transpose(0, 2, 1, 3).reshape(b * n, cfg.dim))
+    out_flat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return linear(out_flat, p["proj"], compute_dtype)
+
+
+def _ffn_apply(flat: jax.Array, p: dict, cfg: BlockConfig,
+               compute_dtype: Optional[jnp.dtype]) -> jax.Array:
+    if cfg.ffn_layer == "mlp":
+        return mlp(flat, p, ACT[cfg.act], compute_dtype)
+    return swiglu(flat, p, compute_dtype)
+
+
+def _maybe_ls(h: jax.Array, p: dict, name: str) -> jax.Array:
+    ls = p.get(name)
+    return h * ls["gamma"] if ls is not None else h
+
+
+# ---------------------------------------------------------- block apply
+
+
+def block_apply(
+    xs: Tuple[jax.Array, ...],
+    p: dict,
+    cfg: BlockConfig,
+    ropes: Sequence[Rope],
+    *,
+    compute_dtype: Optional[jnp.dtype] = None,
+    drop_ratio: float = 0.0,
+    training: bool = False,
+    key: Optional[jax.Array] = None,
+    drop_shards: int = 1,
+) -> Tuple[jax.Array, ...]:
+    """Pre-norm block: ``x + ls1(attn(norm1 x)); x + ls2(ffn(norm2 x))``
+    over a tuple of crop tensors (block.py:290-296)."""
+    if training and drop_ratio > 0.0 and key is not None:
+        return _block_apply_droppath(
+            xs, p, cfg, ropes, compute_dtype=compute_dtype,
+            drop_ratio=drop_ratio, key=key, drop_shards=drop_shards,
+        )
+
+    flat, shapes = pack(xs)
+    n1 = apply_norm(flat, p["norm1"], cfg.norm_kind, cfg.eps)
+    attn_out = _maybe_ls(attention_apply(n1, shapes, p["attn"], cfg, ropes, compute_dtype), p, "ls1")
+    xs = tuple(x + r for x, r in zip(xs, unpack(attn_out, shapes)))
+
+    flat2, _ = pack(xs)
+    n2 = apply_norm(flat2, p["norm2"], cfg.norm_kind, cfg.eps)
+    ffn_out = _maybe_ls(_ffn_apply(n2, p["mlp"], cfg, compute_dtype), p, "ls2")
+    return tuple(x + r for x, r in zip(xs, unpack(ffn_out, shapes)))
+
+
+def drop_keep_count(batch: int, drop_ratio: float, shards: int = 1) -> int:
+    """Per-shard keep count: deterministic equal allocation of the
+    reference's global keep (block.py:55-66), rounded down to keep
+    shapes static and identical across shards."""
+    if shards <= 1:
+        return max(int(batch * (1.0 - drop_ratio)), 1)
+    global_keep = max(int(batch * shards * (1.0 - drop_ratio)), shards)
+    return min(max(global_keep // shards, 1), batch)
+
+
+def sample_drop_indices(key: jax.Array, batch: int, keep: int) -> jax.Array:
+    return jax.random.permutation(key, batch)[:keep]
+
+
+def _residual_scatter(x: jax.Array, res: jax.Array, idx: jax.Array, scale: float) -> jax.Array:
+    """``torch.index_add(x, 0, ls(res), idx, alpha=scale)`` (block.py:211-217)."""
+    return x.at[idx].add((scale * res.astype(jnp.float32)).astype(x.dtype))
+
+
+def _block_apply_droppath(
+    xs, p, cfg, ropes, *, compute_dtype, drop_ratio, key, drop_shards
+) -> Tuple[jax.Array, ...]:
+    keys = jax.random.split(key, 2 * len(xs))
+
+    # attention branch on a random batch subset of each crop
+    idx1, scales1 = [], []
+    for i, x in enumerate(xs):
+        b = x.shape[0]
+        keep = drop_keep_count(b, drop_ratio, drop_shards)
+        idx1.append(sample_drop_indices(keys[i], b, keep))
+        scales1.append(b / keep)
+    sub = [x[ix] for x, ix in zip(xs, idx1)]
+    sub_ropes = [_index_rope(r, ix) for r, ix in zip(ropes, idx1)]
+    flat, shapes = pack(sub)
+    n1 = apply_norm(flat, p["norm1"], cfg.norm_kind, cfg.eps)
+    attn_out = _maybe_ls(attention_apply(n1, shapes, p["attn"], cfg, sub_ropes, compute_dtype), p, "ls1")
+    xs = tuple(
+        _residual_scatter(x, r, ix, s)
+        for x, r, ix, s in zip(xs, unpack(attn_out, shapes), idx1, scales1)
+    )
+
+    # ffn branch on a fresh subset
+    idx2, scales2 = [], []
+    for i, x in enumerate(xs):
+        b = x.shape[0]
+        keep = drop_keep_count(b, drop_ratio, drop_shards)
+        idx2.append(sample_drop_indices(keys[len(xs) + i], b, keep))
+        scales2.append(b / keep)
+    sub2 = [x[ix] for x, ix in zip(xs, idx2)]
+    flat2, shapes2 = pack(sub2)
+    n2 = apply_norm(flat2, p["norm2"], cfg.norm_kind, cfg.eps)
+    ffn_out = _maybe_ls(_ffn_apply(n2, p["mlp"], cfg, compute_dtype), p, "ls2")
+    return tuple(
+        _residual_scatter(x, r, ix, s)
+        for x, r, ix, s in zip(xs, unpack(ffn_out, shapes2), idx2, scales2)
+    )
+
+
+def _index_rope(rope: Rope, idx: jax.Array) -> Rope:
+    if rope is None:
+        return None
+    sin, cos = rope
+    if sin.ndim == 4:  # per-sample rope tables (unused by shipped models)
+        return sin[idx], cos[idx]
+    return rope
+
+
+# ------------------------------------------------------------ scanning
+
+
+def scan_blocks(
+    xs: Tuple[jax.Array, ...],
+    stacked: dict,
+    cfg: BlockConfig,
+    ropes: Sequence[Rope],
+    *,
+    depth: int,
+    compute_dtype: Optional[jnp.dtype] = None,
+    drop_ratio: float = 0.0,
+    training: bool = False,
+    key: Optional[jax.Array] = None,
+    drop_shards: int = 1,
+    collect_last: int = 0,
+) -> Tuple[Tuple[jax.Array, ...], Optional[List[Tuple[jax.Array, ...]]]]:
+    """Run ``depth`` stacked blocks under ``lax.scan``.
+
+    When ``collect_last > 0`` the trailing ``collect_last`` block outputs
+    are also returned (for get_intermediate_layers), using a second scan
+    segment so earlier activations are never materialized.
+    """
+    use_drop = training and drop_ratio > 0.0 and key is not None
+    layer_keys = (
+        jax.random.split(key, depth) if use_drop
+        else jnp.zeros((depth, 2), jnp.uint32)
+    )
+
+    def body(carry, layer):
+        params_i, key_i = layer
+        out = block_apply(
+            carry, params_i, cfg, ropes,
+            compute_dtype=compute_dtype, drop_ratio=drop_ratio,
+            training=training, key=key_i if use_drop else None,
+            drop_shards=drop_shards,
+        )
+        return out, None
+
+    def body_collect(carry, layer):
+        out, _ = body(carry, layer)
+        return out, out
+
+    take = lambda tree, lo, hi: jax.tree.map(lambda a: a[lo:hi], tree)
+
+    if collect_last <= 0:
+        xs, _ = jax.lax.scan(body, xs, (stacked, layer_keys))
+        return xs, None
+
+    split = depth - collect_last
+    if split > 0:
+        xs, _ = jax.lax.scan(body, xs, (take(stacked, 0, split), layer_keys[:split]))
+    xs, ys = jax.lax.scan(body_collect, xs, (take(stacked, split, depth), layer_keys[split:]))
+    # ys: tuple of arrays with leading collect_last axis -> list of tuples
+    collected = [jax.tree.map(lambda a: a[i], ys) for i in range(collect_last)]
+    return xs, collected

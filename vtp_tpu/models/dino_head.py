@@ -1,0 +1,81 @@
+"""DINO/iBOT projection head (reference: vtp/models/heads/dino_head.py).
+
+The weight-normalized last layer is stored in decomposed form
+(direction ``v`` (in, out) + gain ``g`` (out,)) exactly like torch's
+``weight_norm`` parametrization, so converted checkpoints and EMA
+updates behave identically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from vtp_tpu.models.initializers import linear_init
+from vtp_tpu.ops.activations import gelu_exact
+from vtp_tpu.ops.ffn import linear
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoHeadConfig:
+    in_dim: int = 768
+    out_dim: int = 65536
+    nlayers: int = 3
+    hidden_dim: int = 2048
+    bottleneck_dim: int = 256
+    mlp_bias: bool = True
+    use_weight_norm: bool = True
+
+
+def init_dino_head_params(key: jax.Array, cfg: DinoHeadConfig) -> dict:
+    nlayers = max(cfg.nlayers, 1)
+    keys = jax.random.split(key, nlayers + 1)
+    mlp = []
+    if nlayers == 1:
+        mlp.append(linear_init(keys[0], cfg.in_dim, cfg.bottleneck_dim, bias=cfg.mlp_bias))
+    else:
+        mlp.append(linear_init(keys[0], cfg.in_dim, cfg.hidden_dim, bias=cfg.mlp_bias))
+        for i in range(nlayers - 2):
+            mlp.append(linear_init(keys[1 + i], cfg.hidden_dim, cfg.hidden_dim, bias=cfg.mlp_bias))
+        mlp.append(linear_init(keys[nlayers - 1], cfg.hidden_dim, cfg.bottleneck_dim, bias=cfg.mlp_bias))
+    p = {"mlp": {f"layer{i}": lp for i, lp in enumerate(mlp)}}
+    if cfg.use_weight_norm:
+        # torch: weight_norm(Linear(bottleneck, out)), weight_g filled with 1
+        v = linear_init(keys[nlayers], cfg.bottleneck_dim, cfg.out_dim, bias=False)["kernel"]
+        p["last_layer"] = {"v": v, "g": jnp.ones((cfg.out_dim,), jnp.float32)}
+    else:
+        p["last_layer"] = linear_init(keys[nlayers], cfg.bottleneck_dim, cfg.out_dim, bias=False)
+    return p
+
+
+def dino_head_forward(
+    params: dict,
+    cfg: DinoHeadConfig,
+    x: jax.Array,
+    *,
+    no_last_layer: bool = False,
+    only_last_layer: bool = False,
+) -> jax.Array:
+    """MLP -> L2 normalize -> weight-normed projection (dino_head.py:65-89)."""
+    if not only_last_layer:
+        n = max(cfg.nlayers, 1)
+        for i in range(n):
+            x = linear(x, params["mlp"][f"layer{i}"], None)
+            if i < n - 1:
+                x = gelu_exact(x)
+        eps = 1e-6 if x.dtype == jnp.float16 else 1e-12
+        norm = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+        x = x / norm
+    if not no_last_layer:
+        last = params["last_layer"]
+        if "v" in last:
+            v, g = last["v"], last["g"]
+            # torch weight_norm: W = g * v / ||v|| with the norm over the
+            # input dim (dim=0 of torch's (out, in) weight).
+            w = v * (g / jnp.linalg.norm(v, axis=0))[None, :]
+            x = x @ w
+        else:
+            x = linear(x, last, None)
+    return x

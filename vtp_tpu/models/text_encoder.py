@@ -1,0 +1,181 @@
+"""CLIP-style text transformer.
+
+Behavioral reference: ``vtp/models/encoders/text_transformer.py:21-453``
+(Transformer of ResidualAttentionBlocks + TextTransformer pooling) and
+its consumption inside VTPModel.get_clip_text_feature
+(modeling_vtp.py:278-310).
+
+The block is a pre-LN residual transformer with torch
+``nn.MultiheadAttention`` semantics (fused in_proj, additive causal
+mask). Depth is scanned over stacked params like the vision towers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vtp_tpu.models.initializers import normal
+from vtp_tpu.ops.activations import ACT
+from vtp_tpu.ops.attention import sdpa
+from vtp_tpu.ops.ffn import linear
+from vtp_tpu.ops.norms import layer_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class TextConfig:
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 768
+    heads: int = 12
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    output_dim: Optional[int] = 768
+    embed_cls: bool = False
+    no_causal_mask: bool = False
+    pad_id: int = 0
+    pool_type: str = "argmax"  # first | last | argmax | none
+    proj_type: str = "linear"  # linear | none (bare-matrix ckpts convert to linear)
+    proj_bias: bool = False
+    quick_gelu: bool = False
+    ln_eps: float = 1e-5  # torch nn.LayerNorm default
+
+    @property
+    def num_pos(self) -> int:
+        return self.context_length + (1 if self.embed_cls else 0)
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+    @property
+    def mlp_width(self) -> int:
+        return int(self.width * self.mlp_ratio)
+
+
+def init_text_params(key: jax.Array, cfg: TextConfig) -> dict:
+    """OpenAI CLIP init scheme (text_transformer.py:300-321)."""
+    k = jax.random.split(key, 10)
+    w = cfg.width
+    proj_std = (w**-0.5) * ((2 * cfg.layers) ** -0.5)
+    attn_std = w**-0.5
+    fc_std = (2 * w) ** -0.5
+
+    def ln():
+        return {"scale": jnp.ones((w,), jnp.float32), "bias": jnp.zeros((w,), jnp.float32)}
+
+    def block(bk):
+        kk = jax.random.split(bk, 4)
+        p = {
+            "ln_1": ln(),
+            "attn": {
+                "in_proj": {"kernel": normal(kk[0], (w, 3 * w), attn_std),
+                            "bias": jnp.zeros((3 * w,), jnp.float32)},
+                "out_proj": {"kernel": normal(kk[1], (w, w), proj_std),
+                             "bias": jnp.zeros((w,), jnp.float32)},
+            },
+            "ln_2": ln(),
+            "mlp": {
+                "c_fc": {"kernel": normal(kk[2], (w, cfg.mlp_width), fc_std),
+                         "bias": jnp.zeros((cfg.mlp_width,), jnp.float32)},
+                "c_proj": {"kernel": normal(kk[3], (cfg.mlp_width, w), proj_std),
+                           "bias": jnp.zeros((w,), jnp.float32)},
+            },
+        }
+        if cfg.ls_init_value is not None:
+            p["ls_1"] = {"gamma": jnp.full((w,), cfg.ls_init_value, jnp.float32)}
+            p["ls_2"] = {"gamma": jnp.full((w,), cfg.ls_init_value, jnp.float32)}
+        return p
+
+    params = {
+        "token_embedding": normal(k[0], (cfg.vocab_size, w), 0.02),
+        "positional_embedding": normal(k[1], (cfg.num_pos, w), 0.01),
+        "blocks": jax.vmap(block)(jax.random.split(k[2], cfg.layers)),
+        "ln_final": ln(),
+    }
+    if cfg.embed_cls:
+        params["cls_emb"] = normal(k[3], (w,), 0.01)
+    if cfg.proj_type != "none" and cfg.output_dim:
+        params["text_projection"] = {
+            "kernel": normal(k[4], (w, cfg.output_dim), w**-0.5),
+            "bias": jnp.zeros((cfg.output_dim,), jnp.float32) if cfg.proj_bias else None,
+        }
+    return params
+
+
+def _text_block(x: jax.Array, p: dict, cfg: TextConfig,
+                attn_mask: Optional[jax.Array],
+                compute_dtype: Optional[jnp.dtype]) -> jax.Array:
+    B, L, W = x.shape
+    nh, hd = cfg.heads, cfg.head_dim
+    act = ACT["quick_gelu" if cfg.quick_gelu else "gelu"]
+
+    h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"], cfg.ln_eps)
+    qkv = linear(h, p["attn"]["in_proj"], compute_dtype)
+    qkv = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+    o = sdpa(qkv[0], qkv[1], qkv[2], bias=attn_mask)
+    o = o.transpose(0, 2, 1, 3).reshape(B, L, W)
+    o = linear(o, p["attn"]["out_proj"], compute_dtype)
+    if "ls_1" in p:
+        o = o * p["ls_1"]["gamma"]
+    x = x + o
+
+    h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"], cfg.ln_eps)
+    h = linear(act(linear(h, p["mlp"]["c_fc"], compute_dtype)), p["mlp"]["c_proj"], compute_dtype)
+    if "ls_2" in p:
+        h = h * p["ls_2"]["gamma"]
+    return x + h
+
+
+def causal_mask(n: int) -> jax.Array:
+    """Additive float causal mask (text_transformer.py:334-338)."""
+    return jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)
+
+
+def text_global_pool(x: jax.Array, text: Optional[jax.Array], pool_type: str) -> jax.Array:
+    if pool_type == "first":
+        return x[:, 0]
+    if pool_type == "last":
+        return x[:, -1]
+    if pool_type == "argmax":
+        assert text is not None
+        return x[jnp.arange(x.shape[0]), jnp.argmax(text, axis=-1)]
+    return x
+
+
+def text_encode(
+    params: dict,
+    cfg: TextConfig,
+    text: jax.Array,
+    *,
+    normalize: bool = False,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Token IDs (B, L) -> pooled, projected text features
+    (modeling_vtp.py:295-310)."""
+    B, L = text.shape
+    # Embedding lookups are not autocast ops in torch — the residual
+    # stream stays fp32; each linear casts to compute_dtype internally.
+    x = params["token_embedding"][text]
+    x = x + params["positional_embedding"][:L]
+
+    mask = None if cfg.no_causal_mask else causal_mask(L)
+
+    def body(carry, p):
+        return _text_block(carry, p, cfg, mask, compute_dtype), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], cfg.ln_eps)
+    pooled = text_global_pool(x, text, cfg.pool_type)
+    proj = params.get("text_projection")
+    if proj is not None:
+        pooled = linear(pooled, proj, compute_dtype)
+    if normalize:
+        # torch F.normalize clamps the norm at eps=1e-12
+        n = jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
+        pooled = pooled / n
+    return pooled

@@ -1,0 +1,355 @@
+"""VTPModel — the public API surface, matching the reference HF model.
+
+Behavioral reference: ``vtp/models/vtp_hf/modeling_vtp.py:51-472``. Every
+public method preserves the reference's semantics including the dtype
+protocol used by the shipped eval tools (encode/text under bf16
+"autocast", decode in fp32 — tools/test_reconstruction_hf.py:366-370).
+
+Implementation: ``VTPModel`` is a thin stateful wrapper (config +
+params pytree) over pure jitted functions, so the same params can be
+fed to pjit/shard_map directly for data- or tensor-parallel execution.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vtp_tpu.config import VTPConfig
+from vtp_tpu.models.pixel_decoder import (
+    PixelDecoderConfig,
+    init_pixel_decoder_params,
+    pixel_decoder_forward,
+)
+from vtp_tpu.models.text_encoder import TextConfig, init_text_params, text_encode
+from vtp_tpu.models.vit import (
+    ViTConfig,
+    init_vit_params,
+    vit_forward_features,
+    vit_get_intermediate_layers,
+)
+from vtp_tpu.ops.ffn import linear
+from vtp_tpu.ops.patchify import patch_tokens_to_4d
+
+DEFAULT_LOGIT_SCALE = float(np.log(1 / 0.07))
+
+
+def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """torch F.normalize semantics (norm clamped at eps)."""
+    n = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
+    return x / n
+
+
+def vit_config_from(cfg: VTPConfig) -> ViTConfig:
+    return ViTConfig(
+        embed_dim=cfg.vision_embed_dim,
+        depth=cfg.vision_depth,
+        num_heads=cfg.vision_num_heads,
+        patch_size=cfg.vision_patch_size,
+        ffn_ratio=cfg.vision_mlp_ratio,
+        ffn_layer=cfg.vision_ffn_layer,
+        norm_layer=cfg.vision_norm_layer,
+        layerscale_init=cfg.vision_init_values,
+        use_qk_norm=cfg.vision_use_qk_norm,
+        qkv_bias=cfg.vision_qkv_bias,
+        proj_bias=cfg.vision_proj_bias,
+        ffn_bias=cfg.vision_ffn_bias,
+        n_storage_tokens=cfg.vision_n_storage_tokens,
+        untie_cls_and_patch_norms=cfg.vision_untie_cls_and_patch_norms,
+        untie_global_and_local_cls_norm=cfg.vision_untie_global_and_local_cls_norm,
+        feature_bottleneck=cfg.vision_feature_bottleneck,
+        rope_base=cfg.rope_base,
+        rope_min_period=cfg.rope_min_period,
+        rope_max_period=cfg.rope_max_period,
+        rope_normalize_coords=cfg.rope_normalize_coords,
+        rope_shift_coords=cfg.rope_shift_coords,
+        rope_jitter_coords=cfg.rope_jitter_coords,
+        rope_rescale_coords=cfg.rope_rescale_coords,
+        rope_dtype=cfg.rope_dtype,
+    )
+
+
+def decoder_config_from(cfg: VTPConfig) -> PixelDecoderConfig:
+    return PixelDecoderConfig(
+        in_chans=cfg.vision_feature_bottleneck,
+        out_chans=cfg.decoder_out_chans,
+        upscale_factor=cfg.decoder_upscale_factor,
+        embed_dim=cfg.decoder_embed_dim,
+        depth=cfg.decoder_depth,
+        num_heads=cfg.decoder_num_heads,
+        ffn_ratio=cfg.decoder_mlp_ratio,
+        ffn_layer=cfg.decoder_ffn_layer,
+        norm_layer=cfg.decoder_norm_layer,
+        layerscale_init=cfg.decoder_init_values,
+        use_qk_norm=cfg.decoder_use_qk_norm,
+        qkv_bias=cfg.decoder_qkv_bias,
+        proj_bias=cfg.decoder_proj_bias,
+        ffn_bias=cfg.decoder_ffn_bias,
+        rope_base=cfg.rope_base,
+        rope_min_period=cfg.rope_min_period,
+        rope_max_period=cfg.rope_max_period,
+        rope_normalize_coords=cfg.rope_normalize_coords,
+        rope_dtype=cfg.rope_dtype,
+    )
+
+
+def text_config_from(cfg: VTPConfig) -> TextConfig:
+    return TextConfig(
+        context_length=cfg.text_context_length,
+        vocab_size=cfg.text_vocab_size,
+        width=cfg.text_embed_dim,
+        heads=cfg.text_num_heads,
+        layers=cfg.text_depth,
+        mlp_ratio=cfg.text_mlp_ratio,
+        ls_init_value=cfg.text_ls_init_value,
+        output_dim=cfg.text_embed_dim,
+        embed_cls=cfg.text_embed_cls,
+        no_causal_mask=cfg.text_no_causal_mask,
+        pad_id=cfg.text_pad_id,
+        pool_type=cfg.text_pool_type,
+        proj_type=cfg.text_proj_type,
+        proj_bias=cfg.text_proj_bias,
+        quick_gelu=cfg.text_quick_gelu,
+    )
+
+
+def init_vtp_params(key: jax.Array, cfg: VTPConfig) -> dict:
+    k = jax.random.split(key, 5)
+    params: dict = {"trunk": init_vit_params(k[0], vit_config_from(cfg))}
+    if cfg.train_clip:
+        proj_in = (
+            cfg.vision_embed_dim if cfg.vision_bottleneck_ae_only
+            else cfg.vision_feature_bottleneck
+        )
+        params["visual_proj"] = {
+            "kernel": 0.02 * jax.random.truncated_normal(
+                k[1], -2.0, 2.0, (proj_in, cfg.text_embed_dim), jnp.float32
+            ),
+            "bias": None,
+        }
+        params["text"] = init_text_params(k[2], text_config_from(cfg))
+        scale_init = cfg.init_logit_scale if cfg.init_logit_scale is not None else DEFAULT_LOGIT_SCALE
+        lshape = (1,) if cfg.nonscalar_logit_scale else ()
+        params["logit_scale"] = jnp.full(lshape, scale_init, jnp.float32)
+        if cfg.init_logit_bias is not None:
+            params["logit_bias"] = jnp.full(lshape, cfg.init_logit_bias, jnp.float32)
+    if cfg.train_reconstruction:
+        params["pixel_decoder"] = init_pixel_decoder_params(k[3], decoder_config_from(cfg))
+    return params
+
+
+# ------------------------------------------------------------------ pure fns
+
+
+def get_last_layer_feature(
+    params: dict, cfg: VTPConfig, image: jax.Array,
+    use_bottleneck: bool = False,
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+) -> Dict[str, jax.Array]:
+    """(modeling_vtp.py:184-212)."""
+    out = vit_forward_features(
+        params["trunk"], vit_config_from(cfg), image,
+        use_bottleneck=use_bottleneck, compute_dtype=compute_dtype,
+    )
+    return {"cls_token": out["x_norm_clstoken"], "patch_tokens": out["x_norm_patchtokens"]}
+
+
+def get_intermediate_layers_feature(
+    params: dict, cfg: VTPConfig, image: jax.Array,
+    n: Union[int, Sequence[int]] = 1,
+    reshape: bool = False,
+    return_class_token: bool = False,
+    norm: bool = True,
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+) -> Tuple:
+    """(modeling_vtp.py:214-240) — always bypasses the bottleneck."""
+    return vit_get_intermediate_layers(
+        params["trunk"], vit_config_from(cfg), image, n,
+        reshape=reshape, return_class_token=return_class_token,
+        norm=norm, compute_dtype=compute_dtype,
+    )
+
+
+def get_clip_image_feature(
+    params: dict, cfg: VTPConfig, image: jax.Array,
+    normalize: bool = True,
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+) -> jax.Array:
+    """(modeling_vtp.py:244-276). For shipped (bottleneck_ae_only)
+    checkpoints the CLIP feature comes from the un-bottlenecked cls."""
+    out = vit_forward_features(
+        params["trunk"], vit_config_from(cfg), image,
+        use_bottleneck=not cfg.vision_bottleneck_ae_only,
+        compute_dtype=compute_dtype,
+    )
+    if cfg.vision_clip_feat == "cls":
+        feat = out["x_norm_clstoken"]
+    elif cfg.vision_clip_feat == "pooled":
+        feat = out["x_norm_patchtokens"].mean(axis=1)
+    else:
+        raise ValueError(f"Invalid vision_clip_feat: {cfg.vision_clip_feat}")
+    feat = linear(feat, params["visual_proj"], compute_dtype)
+    return l2_normalize(feat) if normalize else feat
+
+
+def get_clip_text_feature(
+    params: dict, cfg: VTPConfig, text: jax.Array,
+    normalize: bool = True,
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+) -> jax.Array:
+    """(modeling_vtp.py:278-310)."""
+    return text_encode(
+        params["text"], text_config_from(cfg), text,
+        normalize=normalize, compute_dtype=compute_dtype,
+    )
+
+
+def get_clip_logits(
+    params: dict, cfg: VTPConfig, image: jax.Array, text: jax.Array,
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+) -> Tuple[jax.Array, jax.Array]:
+    """(modeling_vtp.py:312-333)."""
+    img = get_clip_image_feature(params, cfg, image, True, compute_dtype)
+    txt = get_clip_text_feature(params, cfg, text, True, compute_dtype)
+    logits = jnp.exp(params["logit_scale"]) * img @ txt.T
+    if params.get("logit_bias") is not None:
+        logits = logits + params["logit_bias"]
+    return logits, logits.T
+
+
+def get_reconstruction_latents(
+    params: dict, cfg: VTPConfig, image: jax.Array,
+    compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+) -> jax.Array:
+    """Image -> (B, d, H/p, W/p) bottleneck latents (modeling_vtp.py:337-360)."""
+    _, _, H, W = image.shape
+    out = vit_forward_features(
+        params["trunk"], vit_config_from(cfg), image,
+        use_bottleneck=True, compute_dtype=compute_dtype,
+    )
+    p = cfg.vision_patch_size
+    return patch_tokens_to_4d(out["x_norm_patchtokens"], H // p, W // p)
+
+
+def get_latents_decoded_images(
+    params: dict, cfg: VTPConfig, latents: jax.Array,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Latents -> RGB, fp32 by default per the eval protocol
+    (modeling_vtp.py:362-377; tools/test_reconstruction_hf.py:369)."""
+    latents = latents.astype(jnp.float32) if compute_dtype is None else latents
+    return pixel_decoder_forward(
+        params["pixel_decoder"], decoder_config_from(cfg), latents,
+        compute_dtype=compute_dtype,
+    )
+
+
+# ------------------------------------------------------------------ wrapper
+
+
+class VTPModel:
+    """Stateful convenience wrapper: holds (config, params), exposes the
+    reference API with jit-cached methods. All heavy lifting lives in the
+    pure functions above, which remain usable directly under pjit."""
+
+    def __init__(self, config: VTPConfig, params: dict,
+                 encode_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+                 decode_dtype: Optional[jnp.dtype] = None):
+        self.config = config
+        self.params = params
+        self.encode_dtype = encode_dtype
+        self.decode_dtype = decode_dtype
+        self._jitted: dict = {}
+
+    # -- construction ------------------------------------------------
+
+    @classmethod
+    def init(cls, key: jax.Array, config: VTPConfig, **kw) -> "VTPModel":
+        return cls(config, init_vtp_params(key, config), **kw)
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, config: Optional[VTPConfig] = None, **kw) -> "VTPModel":
+        from vtp_tpu.convert.from_torch import load_vtp_checkpoint
+
+        config, params = load_vtp_checkpoint(path, config)
+        return cls(config, params, **kw)
+
+    # -- internals ---------------------------------------------------
+
+    def _fn(self, name: str, fn, **static):
+        key = (name, tuple(sorted(static.items())))
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(functools.partial(fn, cfg=self.config, **static))
+        return self._jitted[key]
+
+    # -- reference API (modeling_vtp.py:184-472) ----------------------
+
+    def get_last_layer_feature(self, image, use_bottleneck: bool = False):
+        fn = self._fn("last_layer", lambda params, image, cfg, ub: get_last_layer_feature(
+            params, cfg, image, ub, self.encode_dtype), ub=use_bottleneck)
+        return fn(self.params, image)
+
+    def get_intermediate_layers_feature(self, image, n=1, reshape=False,
+                                        return_class_token=False, norm=True):
+        fn = self._fn(
+            "intermediate",
+            lambda params, image, cfg, n, reshape, rct, norm: get_intermediate_layers_feature(
+                params, cfg, image, n, reshape, rct, norm, self.encode_dtype),
+            n=n if isinstance(n, int) else tuple(n),
+            reshape=reshape, rct=return_class_token, norm=norm,
+        )
+        return fn(self.params, image)
+
+    def get_clip_image_feature(self, image, normalize: bool = True):
+        fn = self._fn("clip_img", lambda params, image, cfg, normalize: get_clip_image_feature(
+            params, cfg, image, normalize, self.encode_dtype), normalize=normalize)
+        return fn(self.params, image)
+
+    def get_clip_text_feature(self, text, normalize: bool = True):
+        fn = self._fn("clip_txt", lambda params, text, cfg, normalize: get_clip_text_feature(
+            params, cfg, text, normalize, self.encode_dtype), normalize=normalize)
+        return fn(self.params, text)
+
+    def get_clip_logits(self, image, text):
+        fn = self._fn("clip_logits", lambda params, image, text, cfg: get_clip_logits(
+            params, cfg, image, text, self.encode_dtype))
+        return fn(self.params, image, text)
+
+    def get_reconstruction_latents(self, image):
+        fn = self._fn("rec_latents", lambda params, image, cfg: get_reconstruction_latents(
+            params, cfg, image, self.encode_dtype))
+        return fn(self.params, image)
+
+    def get_latents_decoded_images(self, latents):
+        fn = self._fn("decode", lambda params, latents, cfg: get_latents_decoded_images(
+            params, cfg, latents, self.decode_dtype))
+        return fn(self.params, latents)
+
+    def forward(self, image=None, text=None, forward_type: str = "clip"):
+        """(modeling_vtp.py:399-472)."""
+        if forward_type == "clip":
+            result = {}
+            if image is not None:
+                result["image_features"] = self.get_clip_image_feature(image, True)
+            if text is not None:
+                result["text_features"] = self.get_clip_text_feature(text, True)
+            result["logit_scale"] = jnp.exp(self.params["logit_scale"])
+            if self.params.get("logit_bias") is not None:
+                result["logit_bias"] = self.params["logit_bias"]
+            return result
+        if forward_type == "rec":
+            latents = self.get_reconstruction_latents(image)
+            return {
+                "latents": latents,
+                "reconstructed_image": self.get_latents_decoded_images(latents),
+                "target_image": image,
+            }
+        if forward_type == "feature":
+            return self.get_last_layer_feature(image, use_bottleneck=True)
+        raise ValueError(f"Invalid forward_type: {forward_type}")
+
+    __call__ = forward

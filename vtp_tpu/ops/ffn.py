@@ -1,0 +1,59 @@
+"""Feed-forward networks (behavioral reference: vtp/models/layers/ffn.py).
+
+These take param dicts with JAX-convention kernels ``(in, out)``
+(transposed from torch's ``(out, in)``) so matmuls hit the MXU directly.
+Inputs are cast to ``compute_dtype`` at each GEMM boundary, mirroring
+torch autocast; elementwise activations run in the compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def swiglu_hidden_dim(in_features: int, ffn_ratio: float, align_to: int = 8) -> int:
+    """Hidden-size rule from ffn.py:71-72: ``align(2/3 * ratio * dim)``."""
+    hidden = int(in_features * ffn_ratio)
+    d = int(hidden * 2 / 3)
+    return d + (-d % align_to)
+
+
+def ffn_align_to(ffn_layer: str) -> int:
+    """swiglu / swiglu32 / swiglu64 / swiglu128 registry
+    (vision_transformer.py:22-28)."""
+    return {"swiglu": 8, "swiglu32": 32, "swiglu64": 64, "swiglu128": 128}[ffn_layer]
+
+
+def _linear(x: jax.Array, p: dict, compute_dtype: Optional[jnp.dtype]) -> jax.Array:
+    kernel = p["kernel"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        kernel = kernel.astype(compute_dtype)
+    y = x @ kernel
+    if p.get("bias") is not None:
+        y = y + p["bias"].astype(y.dtype)
+    return y
+
+
+linear = _linear
+
+
+def swiglu(x: jax.Array, params: dict, compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
+    """SwiGLU: ``w3(silu(w1 x) * w2 x)`` (ffn.py:77-81)."""
+    x1 = _linear(x, params["w1"], compute_dtype)
+    x2 = _linear(x, params["w2"], compute_dtype)
+    return _linear(jax.nn.silu(x1) * x2, params["w3"], compute_dtype)
+
+
+def mlp(
+    x: jax.Array,
+    params: dict,
+    act: Callable[[jax.Array], jax.Array],
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Standard 2-layer MLP (ffn.py:21-48)."""
+    h = act(_linear(x, params["fc1"], compute_dtype))
+    return _linear(h, params["fc2"], compute_dtype)
