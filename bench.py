@@ -1,0 +1,151 @@
+"""Benchmark: VTP-L 256x256 encode+decode images/sec on one TPU chip.
+
+Protocol matches the reference eval exactly (tools/test_reconstruction_hf.py:366-370):
+encode under bf16 (weights stored bf16 — numerically identical to
+autocast's per-matmul rounding), decode in fp32 with matmuls pinned to
+float32 precision.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec/chip, "unit": "images/sec/chip",
+   "vs_baseline": fraction of the analytic speed-of-light for this
+   protocol on TPU v5e (197 TFLOP/s bf16; fp32 via 6-pass emulation)}
+
+Env knobs: BENCH_PRESET (vtp-large), BENCH_BATCH (64), BENCH_ITERS (20),
+BENCH_MODE (roundtrip|encode|decode).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vtp_tpu.config import PRESETS, VTPConfig
+from vtp_tpu.models.vtp_model import (
+    get_latents_decoded_images,
+    get_reconstruction_latents,
+    init_vtp_params,
+)
+from vtp_tpu.ops.ffn import swiglu_hidden_dim
+from vtp_tpu.utils import cast_matmul_params
+
+V5E_BF16_PEAK = 197e12  # FLOP/s per chip
+FP32_EMULATION_PASSES = 6  # 'float32' matmul precision = 6-pass bf16
+
+
+def tower_flops(n_tokens: int, dim: int, depth: int, ffn_hidden: int, rotated: int) -> float:
+    """Matmul FLOPs per image for one transformer tower."""
+    qkv = 2 * n_tokens * dim * 3 * dim
+    attn = 2 * 2 * n_tokens * n_tokens * dim  # QK^T + PV
+    proj = 2 * n_tokens * dim * dim
+    ffn = 3 * 2 * n_tokens * dim * ffn_hidden  # w1 + w2 + w3 (swiglu)
+    return depth * (qkv + attn + proj + ffn)
+
+
+def roundtrip_flops(cfg: VTPConfig) -> tuple[float, float]:
+    g = cfg.image_size // cfg.vision_patch_size
+    n_enc = g * g + 1 + cfg.vision_n_storage_tokens
+    enc = tower_flops(
+        n_enc, cfg.vision_embed_dim, cfg.vision_depth,
+        swiglu_hidden_dim(cfg.vision_embed_dim, cfg.vision_mlp_ratio), g * g,
+    )
+    enc += 2 * g * g * (3 * cfg.vision_patch_size**2) * cfg.vision_embed_dim  # patchify
+    enc += 2 * (g * g + 1) * cfg.vision_embed_dim * cfg.vision_feature_bottleneck
+    dec = tower_flops(
+        g * g, cfg.decoder_embed_dim, cfg.decoder_depth,
+        swiglu_hidden_dim(cfg.decoder_embed_dim, cfg.decoder_mlp_ratio), g * g,
+    )
+    dec += 2 * g * g * cfg.vision_feature_bottleneck * cfg.decoder_embed_dim
+    dec += 2 * g * g * cfg.decoder_embed_dim * 3 * cfg.decoder_upscale_factor**2
+    return enc, dec
+
+
+def speed_of_light_imgs_per_sec(cfg: VTPConfig, mode: str) -> float:
+    enc, dec = roundtrip_flops(cfg)
+    t = 0.0
+    if mode in ("roundtrip", "encode"):
+        t += enc / V5E_BF16_PEAK
+    if mode in ("roundtrip", "decode"):
+        t += dec / (V5E_BF16_PEAK / FP32_EMULATION_PASSES)
+    return 1.0 / t
+
+
+def main() -> None:
+    preset = os.environ.get("BENCH_PRESET", "vtp-large")
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    mode = os.environ.get("BENCH_MODE", "roundtrip")
+
+    cfg = PRESETS[preset]()
+    print(f"[bench] preset={preset} batch={batch} iters={iters} mode={mode} "
+          f"device={jax.devices()[0]}", file=sys.stderr)
+
+    params = init_vtp_params(jax.random.key(0), cfg)
+    # encode weights in bf16 (== autocast rounding), decoder stays fp32
+    params["trunk"] = cast_matmul_params(params["trunk"], jnp.bfloat16)
+    params = jax.device_put(params)
+
+    def encode(params, image):
+        return get_reconstruction_latents(params, cfg, image, jnp.bfloat16)
+
+    def decode(params, latents):
+        return get_latents_decoded_images(params, cfg, latents, None)
+
+    def roundtrip(params, image):
+        return decode(params, encode(params, image))
+
+    fn = {"roundtrip": roundtrip, "encode": encode, "decode": decode}[mode]
+    g = cfg.latent_grid
+    if mode == "decode":
+        x = jax.random.normal(
+            jax.random.key(1), (batch, cfg.vision_feature_bottleneck, g, g), jnp.float32
+        )
+    else:
+        x = jax.random.normal(
+            jax.random.key(1), (batch, 3, cfg.image_size, cfg.image_size), jnp.float32
+        )
+
+    # Chain iterations through a data dependency so the runtime cannot
+    # dedupe/cache identical dispatches (the axon relay does), and a
+    # single block_until_ready covers the whole chain.
+    def step(params, x, carry):
+        xi = x + (1e-6 * carry).astype(x.dtype)
+        return fn(params, xi)
+
+    jfn = jax.jit(step)
+    zero = jnp.zeros((), jnp.float32)
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(jfn(params, x, zero))
+    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    tap = jax.jit(lambda o: o.ravel()[0].astype(jnp.float32))
+    jax.block_until_ready(jfn(params, x, tap(out)))  # warm
+
+    t0 = time.perf_counter()
+    carry = zero
+    for _ in range(iters):
+        out = jfn(params, x, carry)
+        carry = tap(out)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * iters / dt
+    sol = speed_of_light_imgs_per_sec(cfg, mode)
+    enc, dec = roundtrip_flops(cfg)
+    print(f"[bench] {dt/iters*1e3:.2f} ms/step, {imgs_per_sec:.1f} img/s, "
+          f"SoL {sol:.1f} img/s ({imgs_per_sec/sol*100:.1f}%), "
+          f"flops/img enc {enc/1e9:.1f}G dec {dec/1e9:.1f}G", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"{preset} 256px {mode} throughput (bf16 encode / fp32 decode protocol)",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / sol, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

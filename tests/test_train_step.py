@@ -1,0 +1,108 @@
+"""Training meta-arch: combined CLIP+SSL+rec step runs, losses are
+finite, params/teacher update; and the step compiles+runs under a
+(data x model) mesh with real shardings on the 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vtp_tpu.config import VTPConfig
+from vtp_tpu.train.step import TrainConfig, build_train_step, init_state, make_ssl_batch
+
+TINY = VTPConfig(
+    image_size=32,
+    vision_patch_size=16,
+    vision_embed_dim=64,
+    vision_depth=2,
+    vision_num_heads=2,
+    vision_feature_bottleneck=16,
+    text_context_length=8,
+    text_vocab_size=128,
+    text_embed_dim=64,
+    text_num_heads=2,
+    text_depth=2,
+    decoder_embed_dim=64,
+    decoder_num_heads=2,
+    decoder_depth=2,
+)
+
+TTINY = TrainConfig(
+    dino_out_dim=64,
+    dino_hidden_dim=32,
+    dino_bottleneck_dim=16,
+    learning_rate=1e-3,
+    warmup_steps=0,  # lr must be nonzero at step 0 for the update assertions
+    total_steps=10,
+    clip_drop_rate=0.25,
+    ssl_drop_rate=0.25,
+)
+
+
+def make_batch(key, b=8):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "image": jax.random.normal(k1, (b, 3, 32, 32)),
+        "text": jax.random.randint(k2, (b, 8), 1, 127),
+        "rec_image": jax.random.normal(k1, (b, 3, 32, 32)),
+        "ssl": make_ssl_batch(k3, b, global_size=32, local_size=16, n_local=2),
+    }
+
+
+def test_train_step_runs_and_updates():
+    key = jax.random.key(0)
+    state = init_state(key, TINY, TTINY)
+    step = jax.jit(build_train_step(TINY, TTINY))
+    batch = make_batch(jax.random.key(1))
+
+    state2, metrics = step(state, batch, jax.random.key(2))
+    for name, v in metrics.items():
+        assert np.isfinite(float(v)), name
+    assert float(metrics["loss/rec"]) > 0
+    assert float(metrics["loss/clip"]) > 0
+    assert int(state2["step"]) == 1
+
+    # params moved
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state["params"], state2["params"])
+    assert max(jax.tree.leaves(d)) > 0
+    # teacher EMA moved but less than student
+    dt = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state["teacher"], state2["teacher"]
+    )
+    assert 0 < max(jax.tree.leaves(dt))
+    # second step: loss stays finite
+    state3, metrics3 = step(state2, make_batch(jax.random.key(3)), jax.random.key(4))
+    assert np.isfinite(float(metrics3["loss/total"]))
+
+
+def test_train_step_sharded_dp_tp():
+    """Full train step under a 4x2 (data, model) mesh — the
+    dryrun_multichip path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vtp_tpu.parallel import batch_sharding, make_mesh, param_partition_specs, shard_params
+
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(4, 2)
+    key = jax.random.key(0)
+    state = init_state(key, TINY, TTINY.__class__(**{**TTINY.__dict__, "drop_shards": 4}))
+    state["params"] = shard_params(state["params"], mesh)
+    if "teacher" in state:
+        state["teacher"] = shard_params(state["teacher"], mesh)
+
+    step = jax.jit(build_train_step(TINY, TTINY))
+    batch = make_batch(jax.random.key(1))
+    bs = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P("data", *(None,) * (x.ndim - 1)))
+    )
+    batch = jax.tree.map(bs, batch)
+
+    with jax.set_mesh(mesh):
+        state2, metrics = step(state, batch, jax.random.key(2))
+    assert np.isfinite(float(metrics["loss/total"]))
+
+    # verify tensor-parallel specs actually shard the ffn kernels
+    specs = param_partition_specs(state["params"])
+    w1 = specs["trunk"]["blocks"]["mlp"]["w1"]["kernel"]
+    assert w1[-1] == "model"

@@ -66,8 +66,13 @@ def dino_head_forward(
             if i < n - 1:
                 x = gelu_exact(x)
         eps = 1e-6 if x.dtype == jnp.float16 else 1e-12
-        norm = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
-        x = x / norm
+        # Gradient-safe L2 normalize: jnp.linalg.norm's VJP at an exactly
+        # zero row is 0/0 = NaN (zero rows occur when drop-path skips a
+        # sample whose masked tokens are the zero-initialized mask_token).
+        # torch F.normalize(eps=...) is finite there; match that.
+        sq = jnp.sum(x * x, axis=-1, keepdims=True)
+        norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+        x = x / jnp.maximum(norm, eps)
     if not no_last_layer:
         last = params["last_layer"]
         if "v" in last:

@@ -96,7 +96,21 @@ def pixel_decoder_forward(
 ) -> jax.Array:
     """(B, C_in, H', W') latents -> (B, 3, H'*u, W'*u) images
     (pixel_decoder.py:134-162). Runs fp32 by default, matching the
-    reference's decode-under-fp32 eval protocol."""
+    reference's decode-under-fp32 eval protocol; in that mode matmuls
+    are pinned to float32 precision (TPU's DEFAULT would silently
+    truncate fp32 operands to bf16 on the MXU and drift rFID)."""
+    if compute_dtype is None:
+        with jax.default_matmul_precision("float32"):
+            return _pixel_decoder_forward(params, cfg, latents, None)
+    return _pixel_decoder_forward(params, cfg, latents, compute_dtype)
+
+
+def _pixel_decoder_forward(
+    params: dict,
+    cfg: PixelDecoderConfig,
+    latents: jax.Array,
+    compute_dtype: Optional[jnp.dtype],
+) -> jax.Array:
     B, _, H, W = latents.shape
     x = latents.transpose(0, 2, 3, 1).reshape(B, H * W, cfg.in_chans)
     x = linear(x, params["proj_in"], compute_dtype)

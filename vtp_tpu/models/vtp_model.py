@@ -39,9 +39,11 @@ DEFAULT_LOGIT_SCALE = float(np.log(1 / 0.07))
 
 
 def l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
-    """torch F.normalize semantics (norm clamped at eps)."""
-    n = jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
-    return x / n
+    """torch F.normalize semantics (norm clamped at eps), with a
+    gradient-safe sqrt so exactly-zero rows don't produce NaN VJPs."""
+    sq = jnp.sum(x * x, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.maximum(sq, eps * eps))
+    return x / jnp.maximum(n, eps)
 
 
 def vit_config_from(cfg: VTPConfig) -> ViTConfig:

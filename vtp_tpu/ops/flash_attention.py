@@ -31,6 +31,11 @@ def flash_supported(q, k, v, *, is_causal: bool = False) -> bool:
         return False  # causal path (text tower) uses the XLA fallback today
     if q.ndim != 4 or q.shape != k.shape or k.shape != v.shape:
         return False
+    if q.dtype != jnp.bfloat16:
+        # fp32 attention (decoder parity mode) stays on the XLA path,
+        # which honors jax.default_matmul_precision('float32'); Mosaic
+        # only lowers DEFAULT/HIGHEST dot precisions.
+        return False
     n = q.shape[2]
     return 2 <= n <= _MAX_SEQ_FULL and q.shape[3] in (32, 64, 128)
 
@@ -46,6 +51,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     ) * scale  # (Np, Np)
 
     n_pad = scores.shape[-1]
@@ -62,6 +68,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
         probs, v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     o_ref[0] = out.astype(o_ref.dtype)
 

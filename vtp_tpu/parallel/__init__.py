@@ -1,0 +1,17 @@
+from vtp_tpu.parallel.mesh import make_mesh, DATA_AXIS, MODEL_AXIS
+from vtp_tpu.parallel.sharding import (
+    param_partition_specs,
+    shard_params,
+    batch_sharding,
+    replicated,
+)
+
+__all__ = [
+    "make_mesh",
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "param_partition_specs",
+    "shard_params",
+    "batch_sharding",
+    "replicated",
+]

@@ -1,0 +1,39 @@
+"""Device-mesh construction.
+
+The reference's only parallelism is DDP over NCCL (SURVEY.md section
+2.8). The TPU-native equivalent is SPMD under jit over a named mesh:
+a ``data`` axis for batch sharding (DP) and an optional ``model`` axis
+for tensor parallelism of the FFN/attention projections. Collectives
+are inserted by XLA from sharding annotations — no process groups.
+
+Multi-host: ``jax.distributed.initialize()`` then the same code; the
+mesh spans all global devices and ICI/DCN routing is XLA's job.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh. Defaults to all devices on the
+    data axis (pure DP — the reference's parallelism)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    if n_data * n_model != len(devices):
+        raise ValueError(f"mesh {n_data}x{n_model} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))

@@ -1,0 +1,356 @@
+"""The VTP training step: CLIP + DINOv2-style SSL + reconstruction.
+
+Rebuilds the reference's training meta-architecture (vtp.py:88-552)
+as one pure, pjit-able step:
+
+  * CLIP mode   (vtp.py:340-360): image/text towers -> contrastive loss;
+  * SSL mode    (vtp.py:365-484): EMA teacher on global crops, student
+    on masked globals + local crops (multi-crop list forward), DINO
+    head, DINO + iBOT objectives with centered teachers;
+  * Rec mode    (vtp.py:487-512): bottleneck latents -> pixel decoder
+    -> pixel loss.
+
+The reference's ``upperbound`` static iBOT buffers (vtp.py:432-439) map
+directly to XLA static shapes: masked-patch indices are padded to a
+fixed length with zero weights. The DDP drop-path broadcast dance
+(block.py:20-118) is replaced by deterministic per-shard keep counts
+from the shared PRNG key (models/blocks.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vtp_tpu.config import VTPConfig
+from vtp_tpu.models.dino_head import DinoHeadConfig, dino_head_forward, init_dino_head_params
+from vtp_tpu.models.pixel_decoder import pixel_decoder_forward
+from vtp_tpu.models.text_encoder import text_encode
+from vtp_tpu.models.vit import vit_forward_features
+from vtp_tpu.models.vtp_model import (
+    decoder_config_from,
+    init_vtp_params,
+    l2_normalize,
+    text_config_from,
+    vit_config_from,
+)
+from vtp_tpu.ops.ffn import linear
+from vtp_tpu.ops.patchify import patch_tokens_to_4d
+from vtp_tpu.train.losses import (
+    clip_loss,
+    dino_loss,
+    ibot_loss,
+    koleo_loss,
+    reconstruction_loss,
+    siglip_loss,
+    update_center,
+)
+from vtp_tpu.train.state import TrainState, create_train_state, ema_update, make_teacher
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    # objectives (training.train_* flags in the reference configs)
+    train_clip: bool = True
+    train_ssl: bool = True
+    train_reconstruction: bool = True
+    clip_weight: float = 1.0
+    dino_weight: float = 1.0
+    ibot_weight: float = 1.0
+    koleo_weight: float = 0.1
+    rec_weight: float = 1.0
+    rec_loss_type: str = "mse"
+    # per-objective stochastic-depth rates (vtp.py:206-208)
+    clip_drop_rate: float = 0.0
+    ssl_drop_rate: float = 0.0
+    rec_drop_rate: float = 0.0
+    # SSL
+    dino_out_dim: int = 65536
+    dino_hidden_dim: int = 2048
+    dino_bottleneck_dim: int = 256
+    dino_nlayers: int = 3
+    student_temp: float = 0.1
+    teacher_temp: float = 0.07
+    center_momentum: float = 0.9
+    teacher_momentum: float = 0.994
+    n_global_crops: int = 2
+    # optimizer
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.04
+    beta1: float = 0.9
+    beta2: float = 0.95
+    warmup_steps: int = 1000
+    total_steps: int = 100_000
+    grad_clip: float = 1.0
+    # precision
+    compute_dtype: Optional[str] = "bf16"
+    # parallelism (drop-path shard count, = data-axis size)
+    drop_shards: int = 1
+
+    @property
+    def jnp_compute_dtype(self):
+        return {None: None, "bf16": jnp.bfloat16, "fp32": None}[self.compute_dtype]
+
+
+def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=tcfg.learning_rate,
+        warmup_steps=tcfg.warmup_steps,
+        decay_steps=tcfg.total_steps,
+        end_value=0.0,
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.adamw(
+            schedule, b1=tcfg.beta1, b2=tcfg.beta2, weight_decay=tcfg.weight_decay
+        ),
+    )
+
+
+def init_train_params(key: jax.Array, cfg: VTPConfig, tcfg: TrainConfig) -> dict:
+    k1, k2 = jax.random.split(key)
+    params = init_vtp_params(k1, cfg)
+    if tcfg.train_ssl:
+        in_dim = (
+            cfg.vision_embed_dim if cfg.vision_bottleneck_ae_only
+            else cfg.vision_feature_bottleneck
+        )
+        params["dino_head"] = init_dino_head_params(
+            k2,
+            DinoHeadConfig(
+                in_dim=in_dim,
+                out_dim=tcfg.dino_out_dim,
+                nlayers=tcfg.dino_nlayers,
+                hidden_dim=tcfg.dino_hidden_dim,
+                bottleneck_dim=tcfg.dino_bottleneck_dim,
+            ),
+        )
+    return params
+
+
+def init_state(key: jax.Array, cfg: VTPConfig, tcfg: TrainConfig) -> TrainState:
+    params = init_train_params(key, cfg, tcfg)
+    opt_state = make_optimizer(tcfg).init(params)
+    return create_train_state(
+        params, opt_state, dino_out_dim=tcfg.dino_out_dim, enable_teacher=tcfg.train_ssl
+    )
+
+
+def make_ssl_batch(
+    key: jax.Array,
+    batch: int,
+    *,
+    global_size: int = 256,
+    local_size: int = 96,
+    n_local: int = 4,
+    patch: int = 16,
+    mask_ratio: float = 0.3,
+    upperbound_ratio: float = 0.5,
+) -> Dict[str, jax.Array]:
+    """Synthetic multi-crop SSL batch with iBOT mask bookkeeping in the
+    reference's static-``upperbound`` layout (vtp.py:365-383)."""
+    kg, kl, km = jax.random.split(key, 3)
+    n_patches = (global_size // patch) ** 2
+    n_tokens = 2 * batch * n_patches
+    upperbound = int(n_tokens * upperbound_ratio)
+    n_masked = int(n_tokens * mask_ratio)
+    global_crops = jax.random.normal(kg, (2 * batch, 3, global_size, global_size))
+    local_crops = jax.random.normal(kl, (n_local * batch, 3, local_size, local_size))
+    perm = jax.random.permutation(km, n_tokens)
+    mask_indices = jnp.zeros((upperbound,), jnp.int32).at[:n_masked].set(perm[:n_masked])
+    mask_weight = (jnp.arange(upperbound) < n_masked).astype(jnp.float32)
+    masks = jnp.zeros((n_tokens,), bool).at[perm[:n_masked]].set(True)
+    return {
+        "global_crops": global_crops,
+        "local_crops": local_crops,
+        "masks": masks.reshape(2 * batch, n_patches),
+        "mask_indices": mask_indices,
+        "mask_weight": mask_weight,
+    }
+
+
+def _dino_head_cfg(cfg: VTPConfig, tcfg: TrainConfig) -> DinoHeadConfig:
+    in_dim = (
+        cfg.vision_embed_dim if cfg.vision_bottleneck_ae_only
+        else cfg.vision_feature_bottleneck
+    )
+    return DinoHeadConfig(
+        in_dim=in_dim,
+        out_dim=tcfg.dino_out_dim,
+        nlayers=tcfg.dino_nlayers,
+        hidden_dim=tcfg.dino_hidden_dim,
+        bottleneck_dim=tcfg.dino_bottleneck_dim,
+    )
+
+
+def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
+    """Returns ``train_step(state, batch, key) -> (state, metrics)``.
+
+    batch keys (all optional by objective):
+      image (B,3,H,W), text (B,L): CLIP pair
+      rec_image (B,3,H,W): reconstruction target
+      ssl: dict from make_ssl_batch-compatible pipeline
+    """
+    vcfg = vit_config_from(cfg)
+    dcfg = decoder_config_from(cfg)
+    txtcfg = text_config_from(cfg)
+    hcfg = _dino_head_cfg(cfg, tcfg)
+    optimizer = make_optimizer(tcfg)
+    cdt = tcfg.jnp_compute_dtype
+    use_bn_for_ssl = not cfg.vision_bottleneck_ae_only
+
+    def clip_branch(params, image, text, key):
+        out = vit_forward_features(
+            params["trunk"], vcfg, image,
+            use_bottleneck=not cfg.vision_bottleneck_ae_only,
+            compute_dtype=cdt, training=True,
+            drop_ratio=tcfg.clip_drop_rate, key=key,
+            drop_shards=tcfg.drop_shards,
+        )
+        feat = (
+            out["x_norm_clstoken"] if cfg.vision_clip_feat == "cls"
+            else out["x_norm_patchtokens"].mean(axis=1)
+        )
+        img = l2_normalize(linear(feat, params["visual_proj"], cdt))
+        txt = l2_normalize(text_encode(params["text"], txtcfg, text, compute_dtype=cdt))
+        if params.get("logit_bias") is not None:
+            return siglip_loss(img, txt, params["logit_scale"], params["logit_bias"])
+        return clip_loss(img, txt, params["logit_scale"])
+
+    def rec_branch(params, image, key):
+        _, _, H, W = image.shape
+        out = vit_forward_features(
+            params["trunk"], vcfg, image,
+            use_bottleneck=True, compute_dtype=cdt, training=True,
+            drop_ratio=tcfg.rec_drop_rate, key=key,
+            drop_shards=tcfg.drop_shards,
+        )
+        p = cfg.vision_patch_size
+        latents = patch_tokens_to_4d(out["x_norm_patchtokens"], H // p, W // p)
+        rec = pixel_decoder_forward(
+            params["pixel_decoder"], dcfg, latents, compute_dtype=cdt
+        )
+        return reconstruction_loss(rec, image, loss_type=tcfg.rec_loss_type)
+
+    def ssl_branch(params, teacher, centers, ssl, key):
+        dino_center, ibot_center = centers
+        g = ssl["global_crops"]
+        n_crops = tcfg.n_global_crops
+        bc = g.shape[0] // n_crops
+
+        # ---- teacher (no grad, EMA params; vtp.py:410-450)
+        t_out = vit_forward_features(
+            teacher["trunk"], vcfg, g,
+            use_bottleneck=use_bn_for_ssl, compute_dtype=cdt,
+        )
+        t_cls = t_out["x_norm_clstoken"]
+        # swap crops: student crop i targets teacher of the other crop
+        t_cls_swapped = jnp.concatenate([t_cls[bc:], t_cls[:bc]], axis=0)
+        t_cls_head = dino_head_forward(teacher["dino_head"], hcfg, t_cls_swapped)
+        t_patch_flat = t_out["x_norm_patchtokens"].reshape(-1, t_out["x_norm_patchtokens"].shape[-1])
+        t_masked = jnp.take(t_patch_flat, ssl["mask_indices"], axis=0)
+        t_masked_head = dino_head_forward(teacher["dino_head"], hcfg, t_masked)
+        t_cls_head = jax.lax.stop_gradient(t_cls_head)
+        t_masked_head = jax.lax.stop_gradient(t_masked_head)
+
+        # ---- student (masked globals + locals; vtp.py:452-484)
+        s_global, s_local = vit_forward_features(
+            params["trunk"], vcfg,
+            [g, ssl["local_crops"]],
+            masks=[ssl["masks"], None],
+            use_bottleneck=use_bn_for_ssl, compute_dtype=cdt,
+            training=True, drop_ratio=tcfg.ssl_drop_rate, key=key,
+            drop_shards=tcfg.drop_shards,
+        )
+        s_g_cls = s_global["x_norm_clstoken"]
+        s_l_cls = s_local["x_norm_clstoken"]
+        s_g_head = dino_head_forward(params["dino_head"], hcfg, s_g_cls)
+        s_l_head = dino_head_forward(params["dino_head"], hcfg, s_l_cls)
+        s_patch_flat = s_global["x_norm_patchtokens"].reshape(-1, s_g_cls.shape[-1])
+        s_masked = jnp.take(s_patch_flat, ssl["mask_indices"], axis=0)
+        s_masked_head = dino_head_forward(params["dino_head"], hcfg, s_masked)
+
+        l_dino_g = dino_loss(
+            s_g_head, t_cls_head, dino_center,
+            student_temp=tcfg.student_temp, teacher_temp=tcfg.teacher_temp,
+        )
+        # locals target the mean teacher distribution over global crops
+        n_local = s_l_head.shape[0] // bc
+        t_for_local = jnp.tile(t_cls_head[:bc], (n_local, 1))
+        l_dino_l = dino_loss(
+            s_l_head, t_for_local, dino_center,
+            student_temp=tcfg.student_temp, teacher_temp=tcfg.teacher_temp,
+        )
+        l_ibot = ibot_loss(
+            s_masked_head, t_masked_head, ibot_center, ssl["mask_weight"],
+            student_temp=tcfg.student_temp, teacher_temp=tcfg.teacher_temp,
+        )
+        l_koleo = koleo_loss(s_g_cls)
+        aux = (t_cls_head, t_masked_head)
+        return l_dino_g + l_dino_l, l_ibot, l_koleo, aux
+
+    def train_step(state: TrainState, batch: Dict[str, Any], key: jax.Array):
+        k_clip, k_rec, k_ssl = jax.random.split(key, 3)
+
+        def loss_fn(params):
+            metrics = {}
+            total = 0.0
+            aux = None
+            if tcfg.train_clip and "image" in batch:
+                l = clip_branch(params, batch["image"], batch["text"], k_clip)
+                metrics["loss/clip"] = l
+                total += tcfg.clip_weight * l
+            if tcfg.train_reconstruction and "rec_image" in batch:
+                l = rec_branch(params, batch["rec_image"], k_rec)
+                metrics["loss/rec"] = l
+                total += tcfg.rec_weight * l
+            if tcfg.train_ssl and "ssl" in batch:
+                l_dino, l_ibot, l_koleo, aux = ssl_branch(
+                    params, state["teacher"],
+                    (state["dino_center"], state["ibot_center"]),
+                    batch["ssl"], k_ssl,
+                )
+                metrics["loss/dino"] = l_dino
+                metrics["loss/ibot"] = l_ibot
+                metrics["loss/koleo"] = l_koleo
+                total += (
+                    tcfg.dino_weight * l_dino
+                    + tcfg.ibot_weight * l_ibot
+                    + tcfg.koleo_weight * l_koleo
+                )
+            metrics["loss/total"] = total
+            return total, (metrics, aux)
+
+        (_, (metrics, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"]
+        )
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        new_state = dict(state)
+        new_state["params"] = params
+        new_state["opt_state"] = opt_state
+        new_state["step"] = state["step"] + 1
+        if "teacher" in state:
+            new_state["teacher"] = ema_update(
+                state["teacher"], make_teacher(params), tcfg.teacher_momentum
+            )
+            if aux is not None:
+                t_cls_head, t_masked_head = aux
+                new_state["dino_center"] = update_center(
+                    state["dino_center"], t_cls_head, tcfg.center_momentum
+                )
+                new_state["ibot_center"] = update_center(
+                    state["ibot_center"], t_masked_head, tcfg.center_momentum
+                )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
