@@ -1,0 +1,114 @@
+"""Checkpoint IO and generation-pipeline tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vtp_tpu.checkpoint import (
+    flatten_params,
+    load_pretrained,
+    save_pretrained,
+    unflatten_params,
+)
+from vtp_tpu.config import VTPConfig
+from vtp_tpu.generation.latents import (
+    compute_latent_stats,
+    load_latent_stats,
+    save_latent_shard,
+)
+from vtp_tpu.models.vtp_model import VTPModel, init_vtp_params
+
+TINY = VTPConfig(
+    image_size=32, vision_patch_size=16, vision_embed_dim=64, vision_depth=2,
+    vision_num_heads=2, vision_feature_bottleneck=16, text_context_length=8,
+    text_vocab_size=64, text_embed_dim=64, text_num_heads=2, text_depth=2,
+    decoder_embed_dim=64, decoder_num_heads=2, decoder_depth=2,
+)
+
+
+def test_flatten_roundtrip():
+    params = init_vtp_params(jax.random.key(0), TINY)
+    flat = flatten_params(params)
+    back = unflatten_params(flat)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, back,
+    )
+    # None leaves (bias=None) survive
+    assert back["visual_proj"]["bias"] is None
+
+
+def test_save_load_pretrained(tmp_path):
+    params = init_vtp_params(jax.random.key(0), TINY)
+    save_pretrained(str(tmp_path / "ckpt"), TINY, params)
+    cfg2, params2 = load_pretrained(str(tmp_path / "ckpt"))
+    assert cfg2 == TINY
+    x = jax.random.normal(jax.random.key(1), (1, 3, 32, 32))
+    m1 = VTPModel(TINY, params, encode_dtype=None)
+    m2 = VTPModel(cfg2, params2, encode_dtype=None)
+    np.testing.assert_array_equal(
+        np.asarray(m1.get_reconstruction_latents(x)),
+        np.asarray(m2.get_reconstruction_latents(x)),
+    )
+    # rope periods keep their bf16 dtype through the roundtrip
+    assert params2["trunk"]["rope"]["periods"].dtype == jnp.bfloat16
+
+
+def test_train_state_orbax_roundtrip(tmp_path):
+    from vtp_tpu.checkpoint import restore_train_state, save_train_state
+    from vtp_tpu.train.step import TrainConfig, init_state
+
+    tcfg = TrainConfig(dino_out_dim=32, dino_hidden_dim=16, dino_bottleneck_dim=8,
+                       total_steps=10)
+    state = init_state(jax.random.key(0), TINY, tcfg)
+    save_train_state(str(tmp_path / "train"), state, step=0)
+    restored = restore_train_state(str(tmp_path / "train"), state)
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["trunk"]["cls_token"]),
+        np.asarray(state["params"]["trunk"]["cls_token"]),
+    )
+
+
+def test_latent_shards_and_stats(tmp_path, rng):
+    d = str(tmp_path / "latents")
+    all_lat = []
+    for shard in range(3):
+        lat = rng.normal(1.5, 2.0, (20, 16, 2, 2)).astype(np.float32)
+        flip = rng.normal(1.5, 2.0, (20, 16, 2, 2)).astype(np.float32)
+        labels = rng.integers(0, 10, 20)
+        save_latent_shard(d, 0, shard, lat, flip, labels)
+        all_lat += [lat, flip]
+    mean, std = compute_latent_stats(d)
+    assert mean.shape == std.shape == (1, 16, 1, 1)
+    cat = np.concatenate(all_lat, axis=0).transpose(1, 0, 2, 3).reshape(16, -1)
+    np.testing.assert_allclose(mean[0, :, 0, 0], cat.mean(-1), rtol=1e-5)
+    np.testing.assert_allclose(std[0, :, 0, 0], cat.std(-1), rtol=1e-4)
+    # reload path (+ torch .pt interop file)
+    m2, s2 = load_latent_stats(d)
+    np.testing.assert_array_equal(m2, mean)
+    assert os.path.exists(os.path.join(d, "latents_stats.pt"))
+
+
+def test_vtp_tokenizer_adapter(rng):
+    from vtp_tpu.generation import VTPTokenizer
+
+    params = init_vtp_params(jax.random.key(0), TINY)
+    tok = VTPTokenizer(TINY, params, img_size=32)
+    assert tok.latent_size == 2 and tok.embed_dim == 16
+
+    from PIL import Image
+
+    img = Image.fromarray(rng.integers(0, 255, (48, 40, 3), np.uint8))
+    x = tok.img_transform()(img)
+    assert x.shape == (3, 32, 32)
+    xf = tok.img_transform(p_hflip=1.0)(img)
+    np.testing.assert_allclose(x[:, :, ::-1], xf, atol=1e-6)
+
+    z = tok.encode_images(x[None])
+    assert z.shape == (1, 16, 2, 2) and z.dtype == np.float32
+    out = tok.decode_to_images(z)
+    assert out.shape == (1, 32, 32, 3) and out.dtype == np.uint8

@@ -1,0 +1,122 @@
+"""Checkpoint IO.
+
+Two formats:
+  * **native**: flattened param pytree -> one safetensors file +
+    ``config.json`` (keys are '/'-joined paths). Loads back with exact
+    dtypes. This is the framework's own interchange format, mirroring
+    the role of HF ``save_pretrained`` (modeling_vtp.py uses HF/safetensors
+    exclusively — SURVEY.md section 5.4).
+  * **orbax**: full training state (params + opt state + teacher +
+    centers) for resumable training, sharding-aware.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vtp_tpu.config import VTPConfig
+
+_SEP = "/"
+_NONE_MARKER = "__none__"
+
+
+def flatten_params(params: Any) -> Dict[str, np.ndarray]:
+    flat = {}
+
+    def visit(path, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                visit(path + (str(k),), v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                visit(path + (str(i),), v)
+        elif node is None:
+            flat[_SEP.join(path) + _SEP + _NONE_MARKER] = np.zeros((0,), np.float32)
+        else:
+            flat[_SEP.join(path)] = np.asarray(node)
+
+    visit((), params)
+    return flat
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]) -> Any:
+    root: Dict[str, Any] = {}
+    for key, value in flat.items():
+        parts = key.split(_SEP)
+        if parts[-1] == _NONE_MARKER:
+            parts = parts[:-1]
+            value = None
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = None if value is None else jnp.asarray(value)
+    return root
+
+
+def save_pretrained(path: str, config: VTPConfig, params: Any) -> None:
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({"model_format": "vtp_tpu", **config.to_dict()}, f, indent=2)
+    flat = flatten_params(params)
+    # safetensors cannot store bf16 via numpy directly on old versions;
+    # ml_dtypes-backed arrays pass through on current ones.
+    save_file(flat, os.path.join(path, "model.safetensors"))
+
+
+def load_pretrained(path: str) -> Tuple[VTPConfig, Any]:
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg_dict = json.load(f)
+    if cfg_dict.get("model_format") != "vtp_tpu":
+        # fall through to the torch-checkpoint converter
+        from vtp_tpu.convert.from_torch import load_vtp_checkpoint
+
+        return load_vtp_checkpoint(path)
+    config = VTPConfig.from_dict(cfg_dict)
+    params = unflatten_params(load_file(os.path.join(path, "model.safetensors")))
+    return config, params
+
+
+# ----------------------------------------------------------------- orbax
+
+
+def save_train_state(directory: str, state: Any, step: Optional[int] = None) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    step = int(state["step"]) if step is None else step
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, f"step_{step:08d}"), state, force=True)
+
+
+def latest_train_state_step(directory: str) -> Optional[int]:
+    if not os.path.isdir(directory):
+        return None
+    steps = [
+        int(m.group(1))
+        for d in os.listdir(directory)
+        if (m := re.match(r"step_(\d+)$", d))
+    ]
+    return max(steps) if steps else None
+
+
+def restore_train_state(directory: str, template: Any, step: Optional[int] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    step = latest_train_state_step(directory) if step is None else step
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(
+            os.path.join(os.path.abspath(directory), f"step_{step:08d}"), template
+        )

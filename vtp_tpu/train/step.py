@@ -98,11 +98,12 @@ class TrainConfig:
 
 
 def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
+    warmup = min(tcfg.warmup_steps, max(tcfg.total_steps - 1, 0))
     schedule = optax.warmup_cosine_decay_schedule(
         init_value=0.0,
         peak_value=tcfg.learning_rate,
-        warmup_steps=tcfg.warmup_steps,
-        decay_steps=tcfg.total_steps,
+        warmup_steps=warmup,
+        decay_steps=max(tcfg.total_steps, warmup + 1),
         end_value=0.0,
     )
     return optax.chain(
