@@ -1,0 +1,82 @@
+"""Native latent DiT: forward semantics, training, sampling."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vtp_tpu.dit.model import DiTConfig, dit_forward, init_dit_params
+from vtp_tpu.dit.train import DiTTrainConfig, build_dit_train_step, init_dit_state
+from vtp_tpu.dit.transport import euler_sample, sample_timesteps, shift_timesteps
+
+TINY = DiTConfig(input_size=4, patch_size=1, in_channels=8, dim=64, depth=2,
+                 num_heads=2, num_classes=10)
+
+
+def test_forward_shapes_and_zero_init():
+    params = init_dit_params(jax.random.key(0), TINY)
+    x = jax.random.normal(jax.random.key(1), (3, 8, 4, 4))
+    t = jnp.asarray([0.1, 0.5, 0.9])
+    y = jnp.asarray([0, 5, TINY.null_label])
+    out = dit_forward(params, TINY, x, t, y, compute_dtype=None)
+    assert out.shape == x.shape
+    # adaLN-zero + zero-init final proj -> exact zero output at init
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_patchify_roundtrip_patch2():
+    cfg = DiTConfig(input_size=4, patch_size=2, in_channels=8, dim=64, depth=1,
+                    num_heads=2, num_classes=10)
+    params = init_dit_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (2, 8, 4, 4))
+    out = dit_forward(params, cfg, x, jnp.asarray([0.5, 0.5]), jnp.asarray([0, 1]),
+                      compute_dtype=None)
+    assert out.shape == x.shape
+
+
+def test_timestep_sampling_and_shift():
+    t = sample_timesteps(jax.random.key(0), 10_000, use_lognorm=True, mu=-0.75, sigma=1.0)
+    assert float(t.min()) > 0 and float(t.max()) < 1
+    # logit-normal with negative mu concentrates mass below 0.5
+    assert float(jnp.mean(t < 0.5)) > 0.6
+    s = shift_timesteps(jnp.asarray([0.0, 0.5, 1.0]), 0.075)
+    np.testing.assert_allclose(np.asarray(s), [0.0, 0.075 / 1.075 * 2 * 0.5 / (2 * 0.5), 1.0], atol=1e-6)
+    assert float(s[1]) < 0.5  # shift < 1 pushes times toward 0
+
+
+def test_train_step_learns():
+    tcfg = DiTTrainConfig(learning_rate=1e-3, total_steps=100, ema_decay=0.9,
+                          class_dropout_prob=0.1)
+    state = init_dit_state(jax.random.key(0), TINY, tcfg)
+    step = jax.jit(build_dit_train_step(TINY, tcfg))
+
+    # toy dataset: class-dependent constant latents
+    protos = jax.random.normal(jax.random.key(1), (10, 8, 4, 4))
+    losses = []
+    for i in range(60):
+        k = jax.random.fold_in(jax.random.key(2), i)
+        y = jax.random.randint(jax.random.fold_in(k, 1), (16,), 0, 10)
+        z = protos[y]
+        state, metrics = step(state, z, y, k)
+        losses.append(float(metrics["loss/transport"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    # EMA tracked
+    d = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                     state["params"], state["ema"])
+    assert max(jax.tree.leaves(d)) > 0
+
+
+def test_euler_sampler_runs():
+    params = init_dit_params(jax.random.key(0), TINY)
+    model_fn = lambda x, t, y: dit_forward(params, TINY, x, t, y, compute_dtype=None)
+    y = jnp.asarray([1, 2])
+    out = euler_sample(model_fn, jax.random.key(3), (2, 8, 4, 4), y,
+                       num_steps=8, timestep_shift=0.075)
+    assert out.shape == (2, 8, 4, 4)
+    assert bool(jnp.isfinite(out).all())
+    # cfg path
+    out_cfg = euler_sample(model_fn, jax.random.key(3), (2, 8, 4, 4), y,
+                           num_steps=4, cfg_scale=2.0, null_label=TINY.null_label)
+    assert bool(jnp.isfinite(out_cfg).all())

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Sample images from a trained DiT and optionally compute gFID inputs.
+
+Equivalent of generation/tools/inference_lightningdit_vtp.py: euler 250
+steps, timestep_shift 0.075, no-cfg headline protocol; samples are
+decoded through the VTP tokenizer and saved as PNGs (plus an .npz stack
+compatible with the ADM FID evaluation format).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dit_ckpt", required=True, help="dir from tools/train_dit.py")
+    p.add_argument("--model_path", required=True, help="VTP HF checkpoint for decoding")
+    p.add_argument("--latent_dir", required=True, help="for latent stats")
+    p.add_argument("--preset", default="DiT-XL/1")
+    p.add_argument("--in_channels", type=int, default=64)
+    p.add_argument("--input_size", type=int, default=16)
+    p.add_argument("--num_samples", type=int, default=50_000)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--num_steps", type=int, default=250)
+    p.add_argument("--timestep_shift", type=float, default=0.075)
+    p.add_argument("--cfg_scale", type=float, default=1.0)
+    p.add_argument("--out", default="./dit_samples")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save_npz", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import numpy as np
+    from PIL import Image
+
+    from vtp_tpu.checkpoint import restore_train_state
+    from vtp_tpu.dit.model import make_dit_config
+    from vtp_tpu.dit.sample import make_sampler
+    from vtp_tpu.dit.train import DiTTrainConfig, init_dit_state
+    from vtp_tpu.generation import VTPTokenizer
+    from vtp_tpu.generation.latents import load_latent_stats
+
+    cfg = make_dit_config(args.preset, in_channels=args.in_channels,
+                          input_size=args.input_size)
+    template = init_dit_state(jax.random.key(0), cfg, DiTTrainConfig(total_steps=1))
+    state = restore_train_state(args.dit_ckpt, template)
+    params = state["ema"]  # sample from EMA weights
+    tokenizer = VTPTokenizer.from_checkpoint(args.model_path)
+    stats = load_latent_stats(args.latent_dir)
+
+    sampler = make_sampler(cfg, num_steps=args.num_steps,
+                           timestep_shift=args.timestep_shift,
+                           cfg_scale=args.cfg_scale)
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    all_images = [] if args.save_npz else None
+    done = 0
+    while done < args.num_samples:
+        b = min(args.batch_size, args.num_samples - done)
+        labels = rng.integers(0, cfg.num_classes, args.batch_size)
+        z = np.asarray(
+            sampler(params, jax.random.fold_in(jax.random.key(args.seed), done),
+                    labels), np.float32,
+        )[:b]
+        z = z * stats[1] + stats[0]
+        images = tokenizer.decode_to_images(z)
+        for i in range(b):
+            Image.fromarray(images[i]).save(
+                os.path.join(args.out, f"sample_{done + i:06d}.png")
+            )
+        if all_images is not None:
+            all_images.append(images)
+        done += b
+        print(f"{done}/{args.num_samples}")
+
+    if all_images is not None:
+        arr = np.concatenate(all_images, axis=0)[: args.num_samples]
+        np.savez(os.path.join(args.out, "samples.npz"), arr_0=arr)
+        print(f"saved {arr.shape} to samples.npz")
+
+
+if __name__ == "__main__":
+    main()

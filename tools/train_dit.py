@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Train a latent DiT on extracted VTP latents.
+
+TPU-native replacement for the reference's LightningDiT train wrapper
+(generation/tools/train_lightningdit_vtp.py): instead of shelling into
+an external torch trainer, the DiT runs natively (vtp_tpu.dit) with the
+same recipe: DiT-XL/1 on f16d64 latents, AdamW 2e-4 beta2 0.95, global
+batch 1024, velocity/Linear transport + cosine loss + lognorm time
+sampling, EMA, latents normalized by extracted stats. Data shards over
+the device mesh.
+
+Usage:
+    python tools/train_dit.py --latent_dir ./latents_out/latents/vtp-l/... \
+        --preset DiT-XL/1 --batch_size 1024 --steps 100000 --out ./dit_ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--latent_dir", required=True)
+    p.add_argument("--preset", default="DiT-XL/1")
+    p.add_argument("--in_channels", type=int, default=64)
+    p.add_argument("--input_size", type=int, default=16)
+    p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--lognorm_mu", type=float, default=-0.75)
+    p.add_argument("--lognorm_sigma", type=float, default=1.0)
+    p.add_argument("--ckpt_every", type=int, default=20_000)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--out", default="./dit_ckpt")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vtp_tpu.checkpoint import latest_train_state_step, restore_train_state, save_train_state
+    from vtp_tpu.dit.model import make_dit_config
+    from vtp_tpu.dit.train import (
+        DiTTrainConfig,
+        LatentShardDataset,
+        build_dit_train_step,
+        init_dit_state,
+    )
+    from vtp_tpu.parallel import make_mesh
+
+    cfg = make_dit_config(args.preset, in_channels=args.in_channels,
+                          input_size=args.input_size)
+    tcfg = DiTTrainConfig(
+        learning_rate=args.lr, total_steps=args.steps,
+        lognorm_mu=args.lognorm_mu, lognorm_sigma=args.lognorm_sigma,
+    )
+
+    state = init_dit_state(jax.random.key(args.seed), cfg, tcfg)
+    start_step = 0
+    if args.resume and latest_train_state_step(args.out) is not None:
+        state = restore_train_state(args.out, state)
+        start_step = int(state["step"])
+        print(f"resumed from step {start_step}")
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    if mesh is not None:
+        rep = NamedSharding(mesh, P())
+        state = jax.device_put(state, rep)
+        data_sharding = NamedSharding(mesh, P("data", None, None, None))
+        label_sharding = NamedSharding(mesh, P("data"))
+    step_fn = jax.jit(build_dit_train_step(cfg, tcfg), donate_argnums=(0,))
+
+    ds = LatentShardDataset(args.latent_dir, latent_norm=True, seed=args.seed)
+    batches = ds.batches(args.batch_size)
+
+    t0 = time.time()
+    for step in range(start_step, args.steps):
+        z, y = next(batches)
+        z, y = jnp.asarray(z), jnp.asarray(y)
+        if mesh is not None:
+            z = jax.device_put(z, data_sharding)
+            y = jax.device_put(y, label_sharding)
+        state, metrics = step_fn(state, z, y, jax.random.fold_in(jax.random.key(args.seed), step))
+        if (step + 1) % args.log_every == 0:
+            rate = args.log_every * args.batch_size / (time.time() - t0)
+            print(f"step {step + 1}: loss {float(metrics['loss/transport']):.4f} "
+                  f"(mse {float(metrics['loss/mse']):.4f}) {rate:.0f} img/s")
+            t0 = time.time()
+        if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
+            save_train_state(args.out, jax.device_get(state))
+            print(f"saved checkpoint at step {step + 1}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,148 @@
+"""DiT training step + latent-shard data pipeline.
+
+Configured like the reference YAMLs
+(generation/configs/train_vtp_l_dit_xl.yaml): AdamW lr 2e-4 beta2 0.95,
+global batch 1024, 100k steps, velocity/Linear transport with cosine
+loss and logit-normal(mu, sigma) time sampling, EMA weights, latents
+normalized by the extracted per-channel stats, random flip via the
+precomputed latents_flip, label dropout for cfg.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vtp_tpu.dit.model import DiTConfig, dit_forward, init_dit_params
+from vtp_tpu.dit.transport import training_losses
+from vtp_tpu.train.state import ema_update
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTTrainConfig:
+    learning_rate: float = 2e-4
+    beta1: float = 0.9
+    beta2: float = 0.95
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    total_steps: int = 100_000
+    warmup_steps: int = 0
+    ema_decay: float = 0.9999
+    use_lognorm: bool = True
+    lognorm_mu: float = -0.75   # VTP-L setup; S/B use (-0.5, 1.25)
+    lognorm_sigma: float = 1.0
+    use_cosine_loss: bool = True
+    class_dropout_prob: float = 0.1
+    compute_dtype: Optional[str] = "bf16"
+
+    @property
+    def jnp_compute_dtype(self):
+        return {None: None, "bf16": jnp.bfloat16, "fp32": None}[self.compute_dtype]
+
+
+def make_dit_optimizer(tcfg: DiTTrainConfig) -> optax.GradientTransformation:
+    if tcfg.warmup_steps > 0:
+        schedule = optax.warmup_cosine_decay_schedule(
+            0.0, tcfg.learning_rate, tcfg.warmup_steps,
+            max(tcfg.total_steps, tcfg.warmup_steps + 1), 0.0,
+        )
+    else:
+        schedule = tcfg.learning_rate
+    return optax.chain(
+        optax.clip_by_global_norm(tcfg.grad_clip),
+        optax.adamw(schedule, b1=tcfg.beta1, b2=tcfg.beta2,
+                    weight_decay=tcfg.weight_decay),
+    )
+
+
+def init_dit_state(key: jax.Array, cfg: DiTConfig, tcfg: DiTTrainConfig) -> Dict:
+    params = init_dit_params(key, cfg)
+    return {
+        "params": params,
+        "ema": jax.tree.map(jnp.copy, params),
+        "opt_state": make_dit_optimizer(tcfg).init(params),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
+    optimizer = make_dit_optimizer(tcfg)
+    cdt = tcfg.jnp_compute_dtype
+
+    def train_step(state: Dict, latents: jax.Array, labels: jax.Array, key: jax.Array):
+        k_drop, k_loss = jax.random.split(key)
+        # classifier-free label dropout
+        drop = jax.random.uniform(k_drop, labels.shape) < tcfg.class_dropout_prob
+        y = jnp.where(drop, cfg.null_label, labels)
+
+        def loss_fn(params):
+            model_fn = lambda xt, t, yy: dit_forward(
+                params, cfg, xt, t, yy, compute_dtype=cdt
+            )
+            return training_losses(
+                model_fn, k_loss, latents, y,
+                use_lognorm=tcfg.use_lognorm,
+                mu=tcfg.lognorm_mu, sigma=tcfg.lognorm_sigma,
+                use_cosine_loss=tcfg.use_cosine_loss,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "ema": ema_update(state["ema"], params, tcfg.ema_decay),
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+class LatentShardDataset:
+    """Iterates (latents, labels) batches from extracted safetensors
+    shards with per-channel normalization and flip augmentation via the
+    precomputed ``latents_flip`` (extract_features_vtp.py layout)."""
+
+    def __init__(self, shard_dir: str, *, latent_norm: bool = True, seed: int = 0):
+        from vtp_tpu.generation.latents import list_latent_shards, load_latent_stats
+
+        self.paths = list_latent_shards(shard_dir)
+        if not self.paths:
+            raise FileNotFoundError(f"no latent shards in {shard_dir}")
+        self.mean = self.std = None
+        if latent_norm:
+            mean, std = load_latent_stats(shard_dir)
+            self.mean, self.std = mean.astype(np.float32), std.astype(np.float32)
+        self.seed = seed
+
+    def batches(self, batch_size: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        from safetensors.numpy import load_file
+
+        rng = np.random.default_rng(self.seed)
+        epoch = 0
+        while True:
+            order = rng.permutation(len(self.paths))
+            for pi in order:
+                shard = load_file(self.paths[pi])
+                n = shard["latents"].shape[0]
+                perm = rng.permutation(n)
+                for s in range(0, n - batch_size + 1, batch_size):
+                    idx = perm[s : s + batch_size]
+                    flip = rng.random(batch_size) < 0.5
+                    z = np.where(
+                        flip[:, None, None, None],
+                        shard["latents_flip"][idx],
+                        shard["latents"][idx],
+                    ).astype(np.float32)
+                    if self.mean is not None:
+                        z = (z - self.mean) / self.std
+                    yield z, shard["labels"][idx].astype(np.int32)
+            epoch += 1
