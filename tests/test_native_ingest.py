@@ -1,0 +1,92 @@
+"""Native C++ ingest vs the PIL parity path."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vtp_tpu.native import (
+    MODE_ADM_CROP,
+    MODE_NAIVE_RESIZE,
+    MODE_RESIZE_CROP,
+    build_error,
+    ingest_batch,
+    native_available,
+)
+from vtp_tpu.utils.image import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    center_crop_arr,
+    resize_naive,
+    to_nchw_float,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason=f"native ingest unavailable: {build_error()}"
+)
+
+
+@pytest.fixture(scope="module")
+def images(tmp_path_factory, request):
+    root = tmp_path_factory.mktemp("native_imgs")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i, (w, h) in enumerate([(640, 480), (300, 513), (256, 256), (97, 131)]):
+        # smooth-ish content so resampling differences stay sub-LSB
+        base = rng.integers(0, 255, (h // 8 + 1, w // 8 + 1, 3), np.uint8)
+        img = Image.fromarray(base).resize((w, h), Image.BILINEAR)
+        p = str(root / f"img_{i}.jpg")
+        img.save(p, quality=95)
+        paths.append(p)
+        p2 = str(root / f"img_{i}.png")
+        img.save(p2)
+        paths.append(p2)
+    return paths
+
+
+def _pil_reference(path, target, mode, aux=0, flip=False):
+    img = Image.open(path).convert("RGB")
+    if mode == MODE_ADM_CROP:
+        img = center_crop_arr(img, target)
+    elif mode == MODE_NAIVE_RESIZE:
+        img = resize_naive(img, target)
+    else:
+        w, h = img.size
+        s = aux / min(w, h)
+        img = img.resize((round(w * s), round(h * s)), Image.BICUBIC)
+        w, h = img.size
+        x0, y0 = (w - target) // 2, (h - target) // 2
+        img = img.crop((x0, y0, x0 + target, y0 + target))
+    if flip:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+    x = to_nchw_float(img)
+    mean = np.asarray(IMAGENET_MEAN, np.float32).reshape(3, 1, 1)
+    std = np.asarray(IMAGENET_STD, np.float32).reshape(3, 1, 1)
+    return (x - mean) / std
+
+
+@pytest.mark.parametrize("mode,aux", [(MODE_ADM_CROP, 0), (MODE_NAIVE_RESIZE, 0), (MODE_RESIZE_CROP, 120)])
+def test_matches_pil(images, mode, aux):
+    target = 96
+    got = ingest_batch(images, target, mode=mode, aux=aux)
+    assert got.shape == (len(images), 3, target, target)
+    for i, p in enumerate(images):
+        want = _pil_reference(p, target, mode, aux)
+        # per-stage rounding may differ by 1 uint8 LSB; normalized units
+        diff = np.abs(got[i] - want)
+        lsb = 1.0 / 255.0 / np.asarray(IMAGENET_STD, np.float32).reshape(3, 1, 1)
+        frac_off = float((diff > 1.5 * lsb).mean())
+        assert frac_off < 0.02, (p, mode, frac_off, float(diff.max()))
+
+
+def test_flip(images):
+    got = ingest_batch(images[:1], 64, mode=MODE_ADM_CROP, flips=[1])
+    want = _pil_reference(images[0], 64, MODE_ADM_CROP, flip=True)
+    assert float(np.abs(got[0] - want).mean()) < 0.01
+
+
+def test_bad_path_zero_filled(images):
+    got = ingest_batch([images[0], "/nonexistent/x.jpg"], 32)
+    assert np.abs(got[1]).sum() == 0.0
+    assert np.abs(got[0]).sum() > 0.0
