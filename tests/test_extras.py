@@ -1,0 +1,140 @@
+"""Auxiliary-layer parity/smoke tests (extras.py, text intermediates,
+misc utils, remat)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.reference_loader import load_reference, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+
+load_reference()
+
+import torch  # noqa: E402
+
+from vtp.models.layers.attention import Attention as RefAttention  # noqa: E402
+from vtp.models.layers.attention import CausalSelfAttention as RefCausal  # noqa: E402
+
+from vtp_tpu.models.extras import (  # noqa: E402
+    causal_block_apply,
+    custom_attention_apply,
+    init_causal_block_params,
+    patch_dropout,
+)
+
+
+def test_custom_attention_matches_reference(rng):
+    torch.manual_seed(0)
+    ref = RefAttention(64, num_heads=4, qkv_bias=True).eval()
+    x = rng.standard_normal((2, 9, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    p = {
+        "in_proj": {"kernel": jnp.asarray(ref.in_proj_weight.detach().numpy().T),
+                    "bias": jnp.asarray(ref.in_proj_bias.detach().numpy())},
+        "out_proj": {"kernel": jnp.asarray(ref.out_proj.weight.detach().numpy().T),
+                     "bias": jnp.asarray(ref.out_proj.bias.detach().numpy())},
+    }
+    got = custom_attention_apply(jnp.asarray(x), p, num_heads=4)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_custom_attention_scaled_cosine_matches(rng):
+    # scale_heads=True is left out: the reference's own head_scale path
+    # is broken (attention.py:263 views (N*h, L, hd) as (N, h, L, C) —
+    # RuntimeError on any input), i.e. dead code we need not match.
+    torch.manual_seed(1)
+    ref = RefAttention(64, num_heads=4, scaled_cosine=True).eval()
+    x = rng.standard_normal((2, 7, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    p = {
+        "in_proj": {"kernel": jnp.asarray(ref.in_proj_weight.detach().numpy().T),
+                    "bias": jnp.asarray(ref.in_proj_bias.detach().numpy())},
+        "out_proj": {"kernel": jnp.asarray(ref.out_proj.weight.detach().numpy().T),
+                     "bias": jnp.asarray(ref.out_proj.bias.detach().numpy())},
+        "logit_scale": jnp.asarray(ref.logit_scale.detach().numpy()),
+    }
+    got = custom_attention_apply(jnp.asarray(x), p, num_heads=4)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-3)
+
+
+def test_causal_attention_matches_reference(rng):
+    torch.manual_seed(2)
+    ref = RefCausal(64, num_heads=4, qkv_bias=True).eval()
+    x = rng.standard_normal((2, 6, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    # run through our block pieces: qkv -> causal sdpa -> proj
+    from vtp_tpu.ops.attention import sdpa
+    from vtp_tpu.ops.ffn import linear
+
+    q = linear(jnp.asarray(x), {"kernel": jnp.asarray(ref.qkv.weight.detach().numpy().T),
+                                "bias": jnp.asarray(ref.qkv.bias.detach().numpy())}, None)
+    q = q.reshape(2, 6, 3, 4, 16).transpose(2, 0, 3, 1, 4)
+    o = sdpa(q[0], q[1], q[2], is_causal=True).transpose(0, 2, 1, 3).reshape(2, 6, 64)
+    got = linear(o, {"kernel": jnp.asarray(ref.proj.weight.detach().numpy().T),
+                     "bias": jnp.asarray(ref.proj.bias.detach().numpy())}, None)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5, rtol=1e-4)
+
+
+def test_causal_block_smoke():
+    p = init_causal_block_params(jax.random.key(0), 64)
+    x = jax.random.normal(jax.random.key(1), (2, 5, 64))
+    out = causal_block_apply(x, p, num_heads=4)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
+def test_patch_dropout():
+    x = jax.random.normal(jax.random.key(0), (2, 17, 8))
+    out = patch_dropout(jax.random.key(1), x, prob=0.5)
+    assert out.shape == (2, 9, 8)  # 1 cls + 8 of 16 kept
+    np.testing.assert_array_equal(np.asarray(out[:, 0]), np.asarray(x[:, 0]))
+    out_eval = patch_dropout(jax.random.key(1), x, prob=0.5, training=False)
+    np.testing.assert_array_equal(np.asarray(out_eval), np.asarray(x))
+
+
+def test_text_forward_intermediates():
+    from vtp_tpu.models.text_encoder import (
+        TextConfig, init_text_params, text_encode, text_forward_intermediates,
+    )
+
+    cfg = TextConfig(context_length=8, vocab_size=32, width=32, heads=2, layers=3,
+                     output_dim=32)
+    params = init_text_params(jax.random.key(0), cfg)
+    text = jax.random.randint(jax.random.key(1), (2, 8), 1, 30)
+    out = text_forward_intermediates(params, cfg, text, indices=2)
+    assert len(out["text_intermediates"]) == 2
+    np.testing.assert_allclose(
+        np.asarray(out["text_features"]),
+        np.asarray(text_encode(params, cfg, text)), atol=1e-5,
+    )
+
+
+def test_remat_matches_plain(rng):
+    from vtp_tpu.config import VTPConfig
+    from vtp_tpu.models.vit import init_vit_params, vit_forward_features
+    from vtp_tpu.models.vtp_model import vit_config_from
+
+    cfg = vit_config_from(VTPConfig(
+        image_size=32, vision_embed_dim=64, vision_depth=2, vision_num_heads=2,
+        vision_feature_bottleneck=16,
+    ))
+    params = init_vit_params(jax.random.key(0), cfg)
+    x = jnp.asarray(rng.standard_normal((2, 3, 32, 32)), jnp.float32)
+
+    def loss(p, remat):
+        out = vit_forward_features(p, cfg, x, use_bottleneck=True, remat=remat)
+        return jnp.sum(out["x_norm_patchtokens"].astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, False))(params)
+    g1 = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5, rtol=1e-4
+        ),
+        g0, g1,
+    )

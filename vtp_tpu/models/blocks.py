@@ -297,12 +297,17 @@ def scan_blocks(
     key: Optional[jax.Array] = None,
     drop_shards: int = 1,
     collect_last: int = 0,
+    remat: bool = False,
 ) -> Tuple[Tuple[jax.Array, ...], Optional[List[Tuple[jax.Array, ...]]]]:
     """Run ``depth`` stacked blocks under ``lax.scan``.
 
     When ``collect_last > 0`` the trailing ``collect_last`` block outputs
     are also returned (for get_intermediate_layers), using a second scan
     segment so earlier activations are never materialized.
+
+    ``remat=True`` checkpoints each block (activations recomputed in the
+    backward pass) — the jax.checkpoint analogue of the reference's HF
+    gradient-checkpointing support (modeling_vtp.py:37).
     """
     use_drop = training and drop_ratio > 0.0 and key is not None
     layer_keys = (
@@ -319,6 +324,9 @@ def scan_blocks(
             drop_shards=drop_shards,
         )
         return out, None
+
+    if remat:
+        body = jax.checkpoint(body)
 
     def body_collect(carry, layer):
         out, _ = body(carry, layer)

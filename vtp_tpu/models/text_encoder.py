@@ -147,6 +147,60 @@ def text_global_pool(x: jax.Array, text: Optional[jax.Array], pool_type: str) ->
     return x
 
 
+def feature_take_indices(num_layers: int, indices) -> Tuple[list, int]:
+    """Resolve intermediate-layer selections (reference
+    models/utils/text_utils.py:113-151): int n -> last n layers;
+    negative indices wrap."""
+    if indices is None:
+        indices = num_layers
+    if isinstance(indices, int):
+        take = list(range(num_layers - indices, num_layers))
+    else:
+        take = [i if i >= 0 else num_layers + i for i in indices]
+    return take, max(take)
+
+
+def text_forward_intermediates(
+    params: dict,
+    cfg: TextConfig,
+    text: jax.Array,
+    indices=None,
+    *,
+    normalize_intermediates: bool = False,
+    intermediates_only: bool = False,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> dict:
+    """Text tower with intermediate activations
+    (text_transformer.py:363-413). Returns {text_intermediates,
+    text_features?}."""
+    B, L = text.shape
+    take, _ = feature_take_indices(cfg.layers, indices)
+    x = params["token_embedding"][text] + params["positional_embedding"][:L]
+    mask = None if cfg.no_causal_mask else causal_mask(L)
+
+    def body(carry, p):
+        out = _text_block(carry, p, cfg, mask, compute_dtype)
+        return out, out
+
+    x, ys = jax.lax.scan(body, x, params["blocks"])
+    inter = [ys[i] for i in take]
+    if normalize_intermediates:
+        inter = [
+            layer_norm(t, params["ln_final"]["scale"], params["ln_final"]["bias"], cfg.ln_eps)
+            for t in inter
+        ]
+    out = {"text_intermediates": inter}
+    if intermediates_only:
+        return out
+    x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], cfg.ln_eps)
+    pooled = text_global_pool(x, text, cfg.pool_type)
+    proj = params.get("text_projection")
+    if proj is not None:
+        pooled = linear(pooled, proj, compute_dtype)
+    out["text_features"] = pooled
+    return out
+
+
 def text_encode(
     params: dict,
     cfg: TextConfig,

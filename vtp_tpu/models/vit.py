@@ -203,6 +203,7 @@ def vit_forward_features(
     drop_ratio: float = 0.0,
     key: Optional[jax.Array] = None,
     drop_shards: int = 1,
+    remat: bool = False,
 ) -> Union[Dict[str, jax.Array], List[Dict[str, jax.Array]]]:
     """forward_features(_list): returns the reference's output dict(s)
     {x_norm_clstoken, x_storage_tokens, x_norm_patchtokens, x_prenorm, masks}
@@ -226,7 +227,7 @@ def vit_forward_features(
         tuple(xs), params["blocks"], cfg.block, ropes,
         depth=cfg.depth, compute_dtype=compute_dtype,
         drop_ratio=drop_ratio, training=training, key=drop_key,
-        drop_shards=drop_shards,
+        drop_shards=drop_shards, remat=remat,
     )
 
     outputs = []
