@@ -116,20 +116,25 @@ def main() -> None:
         xi = x + (1e-6 * carry).astype(x.dtype)
         return fn(params, xi)
 
+    # NOTE: through the remote (axon) runtime, block_until_ready returns
+    # before execution completes — only a host fetch synchronizes. The
+    # chain threads each step's output into the next step's input, and a
+    # single scalar fetch at the end waits for the whole chain.
     jfn = jax.jit(step)
+    tap = jax.jit(lambda o: o.ravel()[0].astype(jnp.float32))
     zero = jnp.zeros((), jnp.float32)
     t0 = time.perf_counter()
-    out = jax.block_until_ready(jfn(params, x, zero))
+    out = jfn(params, x, zero)
+    _ = float(tap(out))
     print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    tap = jax.jit(lambda o: o.ravel()[0].astype(jnp.float32))
-    jax.block_until_ready(jfn(params, x, tap(out)))  # warm
+    _ = float(tap(jfn(params, x, zero)))  # warm steady-state
 
     t0 = time.perf_counter()
     carry = zero
     for _ in range(iters):
         out = jfn(params, x, carry)
         carry = tap(out)
-    jax.block_until_ready(out)
+    _ = float(carry)  # host fetch = real synchronization
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * iters / dt

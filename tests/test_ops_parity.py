@@ -149,6 +149,9 @@ def test_self_attention_with_rope_matches(rng):
 
     periods = jnp.asarray(rope_ref.periods.float().numpy(), jnp.bfloat16)
     sin_j, cos_j = rope_sincos(periods, 4, 4)
+    from vtp_tpu.ops.rope import pad_rope_prefix
+
+    sin_j, cos_j = pad_rope_prefix(sin_j, cos_j, 1)  # cls prefix, identity rotation
 
     p = {
         "qkv": {"kernel": jnp.asarray(ref.qkv.weight.detach().numpy().T),

@@ -146,26 +146,88 @@ def attention_apply(
     compute_dtype: Optional[jnp.dtype],
 ) -> jax.Array:
     """qkv GEMM on the packed matrix, per-crop SDPA, packed out-proj —
-    mirrors ``SelfAttention.forward_list`` (attention.py:98-108)."""
+    mirrors ``SelfAttention.forward_list`` (attention.py:98-108).
+
+    TPU layout note: everything stays in (B, N, heads, head_dim) — q/k/v
+    come from contiguous last-dim slices of the qkv output and attention
+    runs via head-batched einsums (or the Pallas kernel, which block-
+    indexes the head axis). The canonical (B, H, N, d) transpose would
+    force two full relayouts of odd-N tensors per block, which measures
+    as ~2x the encoder's non-GEMM time on v5e.
+    """
+    import os
+
     nh, hd = cfg.num_heads, cfg.head_dim
     qkv_flat = linear(flat_normed, p["qkv"], compute_dtype)
     outs = []
     for (b, n), rope in zip(shapes, ropes):
         off = sum(bb * nn for bb, nn in shapes[: len(outs)])
         qkv = jax.lax.slice_in_dim(qkv_flat, off, off + b * n, axis=0)
-        qkv = qkv.reshape(b, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        d = cfg.dim
+
+        if (jax.default_backend() == "tpu"
+                and not os.environ.get("VTP_DISABLE_FLASH")):
+            from vtp_tpu.ops.flash_attention import (
+                fused_attention_supported,
+                fused_qkv_rope_attention,
+            )
+
+            if fused_attention_supported((b, n, 3 * d), qkv.dtype, nh):
+                o = fused_qkv_rope_attention(
+                    qkv.reshape(b, n, 3 * d),
+                    rope[0] if rope is not None else None,
+                    rope[1] if rope is not None else None,
+                    nh,
+                    q_scale=p["q_norm"]["scale"] if cfg.use_qk_norm else None,
+                    k_scale=p["k_norm"]["scale"] if cfg.use_qk_norm else None,
+                )
+                outs.append(o.reshape(b * n, cfg.dim))
+                continue
+
+        q = jax.lax.slice_in_dim(qkv, 0, d, axis=-1).reshape(b, n, nh, hd)
+        k = jax.lax.slice_in_dim(qkv, d, 2 * d, axis=-1).reshape(b, n, nh, hd)
+        v = jax.lax.slice_in_dim(qkv, 2 * d, 3 * d, axis=-1).reshape(b, n, nh, hd)
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"]["scale"])
             k = rms_norm(k, p["k_norm"]["scale"])
         if rope is not None:
-            q, k = apply_rope_with_prefix(q, k, rope[0], rope[1])
+            sin, cos = rope
+            q, k = apply_rope_bnhd(q, k, sin, cos)
         if compute_dtype is not None:
             q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
-        o = sdpa(q, k, v)
-        outs.append(o.transpose(0, 2, 1, 3).reshape(b * n, cfg.dim))
+        o = sdpa_bnhd(q, k, v)
+        outs.append(o.reshape(b * n, cfg.dim))
     out_flat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return linear(out_flat, p["proj"], compute_dtype)
+
+
+def apply_rope_bnhd(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array):
+    """RoPE on (B, N, H, hd) with full-length (N, hd) tables (prefix
+    pre-padded with identity rotation)."""
+    from vtp_tpu.ops.rope import rope_apply
+
+    q_dtype, k_dtype = q.dtype, k.dtype
+    s = sin[None, :, None, :]
+    c = cos[None, :, None, :]
+    q = rope_apply(q.astype(sin.dtype), s, c).astype(q_dtype)
+    k = rope_apply(k.astype(sin.dtype), s, c).astype(k_dtype)
+    return q, k
+
+
+def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """SDPA over (B, N, H, hd) without host-side transposes."""
+    import os
+
+    if (jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16
+            and not os.environ.get("VTP_DISABLE_FLASH")):
+        from vtp_tpu.ops.flash_attention import flash_attention_bnhd, flash_supported_bnhd
+
+        if flash_supported_bnhd(q, k, v):
+            return flash_attention_bnhd(q, k, v)
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 def _ffn_apply(flat: jax.Array, p: dict, cfg: BlockConfig,

@@ -24,7 +24,7 @@ from vtp_tpu.models.blocks import BlockConfig, Rope, init_stacked_blocks, scan_b
 from vtp_tpu.models.initializers import linear_init, normal, patch_embed_uniform, trunc_normal
 from vtp_tpu.ops.norms import apply_norm, norm_eps
 from vtp_tpu.ops.patchify import patchify
-from vtp_tpu.ops.rope import rope_periods_init, rope_sincos
+from vtp_tpu.ops.rope import pad_rope_prefix, rope_periods_init, rope_sincos
 
 ROPE_DTYPES = {"fp32": jnp.float32, "bf16": jnp.bfloat16, "fp16": jnp.float16}
 
@@ -152,7 +152,7 @@ def _rope_for(
     params: dict, cfg: ViTConfig, gh: int, gw: int,
     key: Optional[jax.Array], training: bool,
 ) -> Rope:
-    return rope_sincos(
+    sin, cos = rope_sincos(
         params["rope"]["periods"], gh, gw,
         normalize_coords=cfg.rope_normalize_coords,
         shift_coords=cfg.rope_shift_coords,
@@ -160,6 +160,9 @@ def _rope_for(
         rescale_coords=cfg.rope_rescale_coords,
         key=key, training=training,
     )
+    # pre-pad for the unrotated cls+storage prefix once per forward, so
+    # per-layer rope application is one fused elementwise op
+    return pad_rope_prefix(sin, cos, 1 + cfg.n_storage_tokens)
 
 
 def _final_norms(

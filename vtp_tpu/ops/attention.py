@@ -62,7 +62,12 @@ def sdpa(
     """Dispatching SDPA: Pallas flash kernel on TPU when supported,
     einsum reference otherwise."""
     if use_flash is None:
-        use_flash = jax.default_backend() == "tpu"
+        import os
+
+        if os.environ.get("VTP_DISABLE_FLASH"):
+            use_flash = False
+        else:
+            use_flash = jax.default_backend() == "tpu"
     if use_flash and bias is None:
         from vtp_tpu.ops.flash_attention import flash_attention, flash_supported
 

@@ -42,9 +42,17 @@ linear = _linear
 
 
 def swiglu(x: jax.Array, params: dict, compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
-    """SwiGLU: ``w3(silu(w1 x) * w2 x)`` (ffn.py:77-81)."""
-    x1 = _linear(x, params["w1"], compute_dtype)
-    x2 = _linear(x, params["w2"], compute_dtype)
+    """SwiGLU: ``w3(silu(w1 x) * w2 x)`` (ffn.py:77-81).
+
+    When the params carry a fused ``w12`` (see
+    vtp_tpu.utils.params.fuse_ffn_params) the two up-projections run as
+    one GEMM — numerically identical, one input read instead of two."""
+    if "w12" in params:
+        h12 = _linear(x, params["w12"], compute_dtype)
+        x1, x2 = jnp.split(h12, 2, axis=-1)
+    else:
+        x1 = _linear(x, params["w1"], compute_dtype)
+        x2 = _linear(x, params["w2"], compute_dtype)
     return _linear(jax.nn.silu(x1) * x2, params["w3"], compute_dtype)
 
 

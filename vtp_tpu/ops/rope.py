@@ -135,6 +135,19 @@ def rope_apply(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
     return x * cos + rope_rotate_half(x) * sin
 
 
+def pad_rope_prefix(sin: jax.Array, cos: jax.Array, prefix: int) -> Tuple[jax.Array, jax.Array]:
+    """Extend (HW, D) tables to (prefix+HW, D) with identity rotation
+    (sin=0, cos=1) for the cls/storage prefix. Numerically identical to
+    slicing the prefix around the rotation (x*1 + rot(x)*0 = x) but lets
+    the per-layer application be a single fused elementwise op instead
+    of slice+rotate+concat copies of the full activation tensor."""
+    if prefix == 0:
+        return sin, cos
+    zeros = jnp.zeros((prefix, sin.shape[-1]), sin.dtype)
+    ones = jnp.ones((prefix, cos.shape[-1]), cos.dtype)
+    return jnp.concatenate([zeros, sin]), jnp.concatenate([ones, cos])
+
+
 def apply_rope_with_prefix(
     q: jax.Array,
     k: jax.Array,
