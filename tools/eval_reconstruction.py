@@ -80,6 +80,27 @@ def main() -> None:
         print(f"Warning: Inception weights unavailable ({e}); rFID will "
               "not be calculated")
 
+    # resume-by-skipping (reference test_reconstruction_hf.py:293-325):
+    # if the output folders already hold every sample, skip regeneration
+    # and compute rFID straight from the saved PNGs.
+    expected = min(len(dataset), args.max_samples or len(dataset))
+    if args.save_dir:
+        from vtp_tpu.eval.reconstruction import count_images, fid_from_folders
+
+        ref_dir = os.path.join(args.save_dir, "ref")
+        rec_dir = os.path.join(args.save_dir, "rec")
+        if count_images(ref_dir) >= expected and count_images(rec_dir) >= expected:
+            print(f"outputs already complete ({expected} images); skipping "
+                  "regeneration, computing rFID from folders")
+            results = {"num_samples": expected, "rfid": None}
+            if inception_fn is not None:
+                results["rfid"] = fid_from_folders(ref_dir, rec_dir, inception_fn)
+            print(json.dumps(results, indent=2))
+            if args.output:
+                with open(args.output, "w") as f:
+                    json.dump(results, f, indent=2)
+            return
+
     results = evaluate_reconstruction(
         params, cfg, loader,
         compute_dtype=compute_dtype,

@@ -39,6 +39,25 @@ from vtp_tpu.models.vtp_model import (
 from vtp_tpu.utils.image import IMAGENET_MEAN, IMAGENET_STD
 
 
+def fid_from_folders(ref_dir: str, rec_dir: str, feature_fn: Callable,
+                     batch_size: int = 50) -> float:
+    """rFID over saved PNG folders (the reference's second-pass protocol,
+    test_reconstruction_hf.py:434-438), streaming moments."""
+    from vtp_tpu.data import DataLoader, ImageFolder
+
+    def transform(img):
+        return np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0
+
+    stats = []
+    for d in (ref_dir, rec_dir):
+        st = FrechetStats(2048)
+        ds = ImageFolder(d, transform=transform)
+        for x, _ in DataLoader(ds, batch_size, num_workers=8):
+            st.update(feature_fn(jnp.asarray(x)))
+        stats.append(st)
+    return fid_from_stats(stats[0], stats[1])
+
+
 def count_images(directory: str) -> int:
     if not os.path.isdir(directory):
         return 0
