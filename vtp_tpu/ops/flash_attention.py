@@ -74,8 +74,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
 
 
 def fused_attention_supported(qkv_shape, dtype, num_heads: int) -> bool:
-    """(B, N, 3D) fused qkv+rope+attention kernel support check."""
-    if dtype != jnp.bfloat16:
+    """(B, N, 3D) fused qkv+rope+attention kernel support check.
+    bf16 uses DEFAULT-precision dots; fp32 (the decoder's parity mode)
+    uses HIGHEST (6-pass, fp32-accurate)."""
+    if dtype == jnp.bfloat16:
+        itemsize = 2
+    elif dtype == jnp.float32:
+        itemsize = 4
+    else:
         return False
     B, N, three_d = qkv_shape
     d = three_d // 3 // num_heads
@@ -83,7 +89,7 @@ def fused_attention_supported(qkv_shape, dtype, num_heads: int) -> bool:
         return False
     if not (2 <= N <= _MAX_SEQ_FULL):
         return False
-    vmem = (qkv_shape[1] * three_d * 2) * 2 + 2 * N * N * 4
+    vmem = (qkv_shape[1] * three_d * itemsize) * 2 + 2 * N * N * 4
     return vmem < 12 * 1024 * 1024
 
 
@@ -116,6 +122,12 @@ def fused_qkv_rope_attention(
     scale = d**-0.5
     use_rope = sin is not None
     use_qk_norm = q_scale is not None
+    # bf16 operands ride the MXU directly; fp32 (decoder parity mode)
+    # uses 6-pass fp32-accurate dots
+    dot_precision = (
+        jax.lax.Precision.DEFAULT if qkv.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
 
     if use_rope:
         # rotate-half as lane roll + sign: rot(x) = roll(x, d/2) * signs;
@@ -142,13 +154,15 @@ def fused_qkv_rope_attention(
             return (n.astype(x.dtype) * w).astype(x.dtype)
 
         def rope(x):
-            # Mosaic's lane-rotate needs 32-bit data; compute the whole
-            # rotation in fp32 and round once (within 1 ulp of the
-            # reference's three-rounding bf16 sequence)
-            xf = x.astype(jnp.float32)
+            # The reference rotates in the rope dtype (bf16) regardless of
+            # tower precision (attention.py:70-89) — so fp32 inputs are
+            # rounded to bf16 first. Mosaic's lane-rotate needs 32-bit
+            # data; the rotation itself runs in fp32 and rounds once
+            # (within 1 ulp of the reference's three-rounding sequence).
+            xf = x.astype(jnp.bfloat16).astype(jnp.float32)
             rolled = pltpu.roll(xf, d // 2, 1)
             out = xf * cos_ref[:].astype(jnp.float32) + rolled * sin_ref[:].astype(jnp.float32)
-            return out.astype(x.dtype)
+            return out.astype(x.dtype) if x.dtype == jnp.float32 else out.astype(jnp.bfloat16)
 
         for h in range(H):
             q = qkv_ref[0, :, h * d:(h + 1) * d]
@@ -163,7 +177,7 @@ def fused_qkv_rope_attention(
             scores = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=dot_precision,
             ) * scale
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = jnp.exp(scores - m)
@@ -171,7 +185,7 @@ def fused_qkv_rope_attention(
             out = jax.lax.dot_general(
                 probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
+                precision=dot_precision,
             )
             o_ref[0, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
 
