@@ -74,11 +74,51 @@ def speed_of_light_imgs_per_sec(cfg: VTPConfig, mode: str) -> float:
     return 1.0 / t
 
 
+def bench_train() -> None:
+    """BENCH_MODE=train: combined CLIP+rec train-step throughput
+    (images/sec/chip) on the preset model, synthetic batch."""
+    preset = os.environ.get("BENCH_PRESET", "vtp-base")
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    from vtp_tpu.train.step import TrainConfig, build_train_step, init_state
+
+    cfg = PRESETS[preset]()
+    tcfg = TrainConfig(train_ssl=False, warmup_steps=0, total_steps=1000)
+    state = init_state(jax.random.key(0), cfg, tcfg)
+    step = jax.jit(build_train_step(cfg, tcfg), donate_argnums=(0,))
+    k1, k2 = jax.random.split(jax.random.key(1))
+    batch_data = {
+        "image": jax.random.normal(k1, (batch, 3, cfg.image_size, cfg.image_size)),
+        "text": jax.random.randint(k2, (batch, cfg.text_context_length), 1,
+                                   cfg.text_vocab_size - 1),
+        "rec_image": jax.random.normal(k1, (batch, 3, cfg.image_size, cfg.image_size)),
+    }
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch_data, jax.random.key(2))
+    _ = float(metrics["loss/total"])
+    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, batch_data, jax.random.key(3 + i))
+    _ = float(metrics["loss/total"])  # host fetch = sync
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"{preset} 256px CLIP+rec train step throughput",
+        "value": round(batch / dt, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "vtp-large")
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     mode = os.environ.get("BENCH_MODE", "roundtrip")
+    if mode == "train":
+        return bench_train()
 
     cfg = PRESETS[preset]()
     print(f"[bench] preset={preset} batch={batch} iters={iters} mode={mode} "

@@ -202,3 +202,61 @@ def test_mlp_matches(rng):
                 "bias": jnp.asarray(ref.fc2.bias.detach().numpy())},
     }
     allclose(mlp_op(jnp.asarray(x), params, gelu_exact), out_t, atol=1e-5)
+
+
+def test_fused_attention_kernel_interpret_mode(rng, monkeypatch):
+    """Fused qkv+rope+attention kernel logic vs the pure-JAX reference
+    composition, via the Pallas interpreter (no TPU needed)."""
+    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    from vtp_tpu.ops.flash_attention import (
+        _fused_kernel_call,
+        _fused_reference_impl,
+    )
+
+    B, N, H, d = 2, 17, 2, 32
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.bfloat16)
+    sin_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+    cos_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+
+    got = _fused_kernel_call(qkv, sin_t, cos_t, H)
+    want = _fused_reference_impl(qkv, sin_t, cos_t, None, None, H)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+    # with qk-norm
+    qs = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1 + 1.0)
+    ks = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1 + 1.0)
+    got = _fused_kernel_call(qkv, sin_t, cos_t, H, q_scale=qs, k_scale=ks)
+    want = _fused_reference_impl(qkv, sin_t, cos_t, qs, ks, H)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_fused_attention_gradients(rng, monkeypatch):
+    """custom_vjp backward (pure-JAX recompute) is finite and matches
+    grads of the reference composition."""
+    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    from vtp_tpu.ops.flash_attention import (
+        _fused_reference_impl,
+        fused_qkv_rope_attention,
+    )
+
+    B, N, H, d = 1, 9, 2, 32
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.float32)
+    sin_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+    cos_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+
+    g1 = jax.grad(lambda x: jnp.sum(
+        fused_qkv_rope_attention(x, sin_t, cos_t, H).astype(jnp.float32) ** 2
+    ))(qkv)
+    g2 = jax.grad(lambda x: jnp.sum(
+        _fused_reference_impl(x, sin_t, cos_t, None, None, H).astype(jnp.float32) ** 2
+    ))(qkv)
+    assert bool(jnp.isfinite(g1).all())
+    # primal outputs differ by bf16 rounding order (one- vs three-rounding
+    # rope), so the cotangents differ proportionally — loose tolerance
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-2, rtol=5e-2)

@@ -93,6 +93,7 @@ def pixel_decoder_forward(
     latents: jax.Array,
     *,
     compute_dtype: Optional[jnp.dtype] = None,
+    remat: bool = False,
 ) -> jax.Array:
     """(B, C_in, H', W') latents -> (B, 3, H'*u, W'*u) images
     (pixel_decoder.py:134-162). Runs fp32 by default, matching the
@@ -101,8 +102,8 @@ def pixel_decoder_forward(
     truncate fp32 operands to bf16 on the MXU and drift rFID)."""
     if compute_dtype is None:
         with jax.default_matmul_precision("float32"):
-            return _pixel_decoder_forward(params, cfg, latents, None)
-    return _pixel_decoder_forward(params, cfg, latents, compute_dtype)
+            return _pixel_decoder_forward(params, cfg, latents, None, remat)
+    return _pixel_decoder_forward(params, cfg, latents, compute_dtype, remat)
 
 
 def _pixel_decoder_forward(
@@ -110,6 +111,7 @@ def _pixel_decoder_forward(
     cfg: PixelDecoderConfig,
     latents: jax.Array,
     compute_dtype: Optional[jnp.dtype],
+    remat: bool = False,
 ) -> jax.Array:
     B, _, H, W = latents.shape
     x = latents.transpose(0, 2, 3, 1).reshape(B, H * W, cfg.in_chans)
@@ -121,7 +123,7 @@ def _pixel_decoder_forward(
     )
     (x,), _ = scan_blocks(
         (x,), params["blocks"], cfg.block, [rope],
-        depth=cfg.depth, compute_dtype=compute_dtype,
+        depth=cfg.depth, compute_dtype=compute_dtype, remat=remat,
     )
     x = apply_norm(x, params["norm"], cfg.norm_layer, norm_eps(cfg.norm_layer))
     x = linear(x, params["proj_out"], compute_dtype)  # (B, HW, 3*u^2)

@@ -93,7 +93,69 @@ def fused_attention_supported(qkv_shape, dtype, num_heads: int) -> bool:
     return vmem < 12 * 1024 * 1024
 
 
+def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int):
+    """Pure-JAX composition matching the fused kernel's math — used as
+    the differentiation rule (custom_vjp backward) since Mosaic's
+    lane-roll has no VJP. Recomputes the forward; a dedicated backward
+    kernel is future work."""
+    B, N, three_d = qkv.shape
+    D = three_d // 3
+    H = num_heads
+    d = D // H
+    q = qkv[..., :D].reshape(B, N, H, d)
+    k = qkv[..., D:2 * D].reshape(B, N, H, d)
+    v = qkv[..., 2 * D:].reshape(B, N, H, d)
+    if q_scale is not None:
+        from vtp_tpu.ops.norms import rms_norm
+
+        q = rms_norm(q, q_scale).astype(qkv.dtype)
+        k = rms_norm(k, k_scale).astype(qkv.dtype)
+    if sin is not None:
+        from vtp_tpu.ops.rope import rope_apply
+
+        s = sin[None, :, None, :]
+        c = cos[None, :, None, :]
+        rdt = jnp.bfloat16
+        q = rope_apply(q.astype(rdt), s.astype(rdt), c.astype(rdt)).astype(qkv.dtype)
+        k = rope_apply(k.astype(rdt), s.astype(rdt), c.astype(rdt)).astype(qkv.dtype)
+    scale = d**-0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    o = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
+    return o.astype(qkv.dtype).reshape(B, N, D)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_with_vjp(num_heads: int):
+    def fwd_only(qkv, sin, cos, q_scale, k_scale):
+        return _fused_kernel_call(qkv, sin, cos, num_heads, q_scale, k_scale)
+
+    f = jax.custom_vjp(fwd_only)
+
+    def fwd(qkv, sin, cos, q_scale, k_scale):
+        return fwd_only(qkv, sin, cos, q_scale, k_scale), (qkv, sin, cos, q_scale, k_scale)
+
+    def bwd(res, g):
+        _, vjp = jax.vjp(
+            lambda *a: _fused_reference_impl(*a, num_heads=num_heads), *res
+        )
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def fused_qkv_rope_attention(
+    qkv: jax.Array,
+    sin, cos,
+    num_heads: int,
+    q_scale=None, k_scale=None,
+) -> jax.Array:
+    """Differentiable wrapper: Pallas kernel forward, pure-JAX VJP."""
+    return _fused_with_vjp(num_heads)(qkv, sin, cos, q_scale, k_scale)
+
+
+def _fused_kernel_call(
     qkv: jax.Array,          # (B, N, 3*H*d) raw qkv-projection output
     sin, cos,                # (N, d) full-length tables (prefix padded) or None
     num_heads: int,
@@ -205,6 +267,8 @@ def fused_qkv_rope_attention(
         inputs += [q_scale.astype(jnp.float32), k_scale.astype(jnp.float32)]
         in_specs += [vec_spec, vec_spec]
 
+    import os
+
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -216,6 +280,7 @@ def fused_qkv_rope_attention(
             bytes_accessed=B * N * (three_d + D) * qkv.dtype.itemsize,
             transcendentals=B * H * N * N,
         ),
+        interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
     )(*inputs)
 
 

@@ -89,6 +89,8 @@ class TrainConfig:
     grad_clip: float = 1.0
     # precision
     compute_dtype: Optional[str] = "bf16"
+    # memory: rematerialize blocks in backward (jax.checkpoint)
+    remat: bool = True
     # parallelism (drop-path shard count, = data-axis size)
     drop_shards: int = 1
 
@@ -212,7 +214,7 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
             use_bottleneck=not cfg.vision_bottleneck_ae_only,
             compute_dtype=cdt, training=True,
             drop_ratio=tcfg.clip_drop_rate, key=key,
-            drop_shards=tcfg.drop_shards,
+            drop_shards=tcfg.drop_shards, remat=tcfg.remat,
         )
         feat = (
             out["x_norm_clstoken"] if cfg.vision_clip_feat == "cls"
@@ -230,12 +232,13 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
             params["trunk"], vcfg, image,
             use_bottleneck=True, compute_dtype=cdt, training=True,
             drop_ratio=tcfg.rec_drop_rate, key=key,
-            drop_shards=tcfg.drop_shards,
+            drop_shards=tcfg.drop_shards, remat=tcfg.remat,
         )
         p = cfg.vision_patch_size
         latents = patch_tokens_to_4d(out["x_norm_patchtokens"], H // p, W // p)
         rec = pixel_decoder_forward(
-            params["pixel_decoder"], dcfg, latents, compute_dtype=cdt
+            params["pixel_decoder"], dcfg, latents, compute_dtype=cdt,
+            remat=tcfg.remat,
         )
         return reconstruction_loss(rec, image, loss_type=tcfg.rec_loss_type)
 
@@ -267,7 +270,7 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
             masks=[ssl["masks"], None],
             use_bottleneck=use_bn_for_ssl, compute_dtype=cdt,
             training=True, drop_ratio=tcfg.ssl_drop_rate, key=key,
-            drop_shards=tcfg.drop_shards,
+            drop_shards=tcfg.drop_shards, remat=tcfg.remat,
         )
         s_g_cls = s_global["x_norm_clstoken"]
         s_l_cls = s_local["x_norm_clstoken"]

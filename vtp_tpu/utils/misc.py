@@ -78,3 +78,30 @@ def to_ntuple(n: int):
 
 
 to_2tuple = to_ntuple(2)
+
+
+# numpy <-> jax dtype mapping (reference models/utils/dtype.py analogue)
+_NP_TO_JNP = {
+    np.dtype("bool"): jnp.bool_,
+    np.dtype("uint8"): jnp.uint8,
+    np.dtype("int8"): jnp.int8,
+    np.dtype("int16"): jnp.int16,
+    np.dtype("int32"): jnp.int32,
+    np.dtype("int64"): jnp.int64,
+    np.dtype("float16"): jnp.float16,
+    np.dtype("float32"): jnp.float32,
+    np.dtype("float64"): jnp.float64,
+}
+
+
+def as_jax_dtype(spec) -> jnp.dtype:
+    """str / numpy dtype / jax dtype -> jax dtype ('bf16' included)."""
+    if isinstance(spec, str):
+        named = {"fp32": jnp.float32, "fp16": jnp.float16, "bf16": jnp.bfloat16,
+                 "float32": jnp.float32, "float16": jnp.float16,
+                 "bfloat16": jnp.bfloat16}
+        if spec in named:
+            return named[spec]
+        return jnp.dtype(spec)
+    d = np.dtype(spec) if not hasattr(spec, "itemsize") else spec
+    return _NP_TO_JNP.get(np.dtype(d), jnp.dtype(d))
