@@ -114,7 +114,9 @@ def bench_train() -> None:
 
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "vtp-large")
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    # batch 32 measured fastest for the roundtrip on v5e (133.9 img/s vs
+    # 130.7 at 64, 124.1 at 128 — VMEM pressure grows with batch)
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     mode = os.environ.get("BENCH_MODE", "roundtrip")
     if mode == "train":
