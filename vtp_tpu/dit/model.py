@@ -153,18 +153,37 @@ def _dit_block(x: jax.Array, cond: jax.Array, p: dict, cfg: DiTConfig,
     h = rms_norm(x, jnp.ones((D,), jnp.float32), cfg.norm_eps)
     h = _modulate(h, sh1, sc1)
     qkv = linear(h, p["attn"]["qkv"], compute_dtype)
-    qkv = qkv.reshape(B, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    if cfg.use_qk_norm:
-        q = rms_norm(q, p["attn"]["q_norm"]["scale"], cfg.norm_eps)
-        k = rms_norm(k, p["attn"]["k_norm"]["scale"], cfg.norm_eps)
-    if rope is not None:
-        from vtp_tpu.ops.rope import apply_rope_with_prefix
 
-        q, k = apply_rope_with_prefix(q, k, rope[0], rope[1])
-    if compute_dtype is not None:
-        q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
-    o = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(B, N, D)
+    import os
+
+    use_fused = False
+    if jax.default_backend() == "tpu" and not os.environ.get("VTP_DISABLE_FLASH"):
+        from vtp_tpu.ops.flash_attention import (
+            fused_attention_supported,
+            fused_qkv_rope_attention,
+        )
+
+        use_fused = fused_attention_supported((B, N, 3 * D), qkv.dtype, nh)
+    if use_fused:
+        o = fused_qkv_rope_attention(
+            qkv, rope[0] if rope else None, rope[1] if rope else None, nh,
+            q_scale=p["attn"]["q_norm"]["scale"] if cfg.use_qk_norm else None,
+            k_scale=p["attn"]["k_norm"]["scale"] if cfg.use_qk_norm else None,
+        )
+    else:
+        qkv4 = qkv.reshape(B, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv4[0], qkv4[1], qkv4[2]
+        if cfg.use_qk_norm:
+            # eps 1e-5 matches the fused kernel's in-kernel qk-RMSNorm
+            q = rms_norm(q, p["attn"]["q_norm"]["scale"], 1e-5)
+            k = rms_norm(k, p["attn"]["k_norm"]["scale"], 1e-5)
+        if rope is not None:
+            from vtp_tpu.ops.rope import apply_rope_with_prefix
+
+            q, k = apply_rope_with_prefix(q, k, rope[0], rope[1])
+        if compute_dtype is not None:
+            q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
+        o = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(B, N, D)
     o = linear(o, p["attn"]["proj"], compute_dtype)
     x = x + g1[:, None, :] * o.astype(jnp.float32)
 

@@ -83,7 +83,9 @@ def build_zero_shot_classifier(
     classnames = classnames if classnames is not None else load_imagenet_classnames()
     templates = templates if templates is not None else load_openai_templates()
     n_t = len(templates)
-    tokens = tokenize_classifier_prompts(tokenizer, classnames, templates)
+    tokens = tokenize_classifier_prompts(
+        tokenizer, classnames, templates, context_length=cfg.text_context_length
+    )
     tokens = tokens.reshape(len(classnames), n_t, -1)
 
     @jax.jit
