@@ -1,13 +1,21 @@
-"""Pallas TPU flash-attention kernel.
+"""Pallas TPU flash-attention kernels.
 
-Replaces the reference's ``F.scaled_dot_product_attention`` hot kernel
-(vtp/models/layers/attention.py:124) for the ViT trunk and pixel
-decoder. VTP sequences are short (257 tokens at 256 resolution, 77 for
-text) with head_dim 64 across every released size, so the kernel
-processes whole (batch, head) rows per grid step with the K/V sequence
-padded to the lane width and masked inside the softmax.
+Replace the reference's ``F.scaled_dot_product_attention`` hot kernel
+(vtp/models/layers/attention.py:124) for the ViT trunk, pixel decoder,
+and DiT. VTP sequences are short (257 tokens at 256px, 77 for text)
+with head_dim 64 across every released size.
 
-The einsum path in ``vtp_tpu.ops.attention`` is the parity oracle.
+The production path is ``fused_qkv_rope_attention``: one grid step per
+batch row reads the raw (B, N, 3D) qkv GEMM output, does qkv-split +
+optional qk-RMSNorm + RoPE + flash softmax per head on VMEM column
+slices with NO sequence padding (exact-dim blocks are legal in Mosaic
+and measure 4x faster than 128-multiple padding), and writes the
+(B, N, D) output once. bf16 operands use DEFAULT-precision MXU dots
+with fp32 accumulation; fp32 (the decoder's parity mode) uses HIGHEST
+(6-pass, fp32-accurate). A custom_vjp supplies the backward via a
+pure-JAX recompute. ``flash_attention``/``flash_attention_bnhd`` are
+earlier standalone variants kept for aligned-shape callers; the einsum
+path in ``vtp_tpu.ops.attention`` is the parity oracle.
 """
 
 from __future__ import annotations
