@@ -10,8 +10,8 @@ Prints ONE JSON line:
    "vs_baseline": fraction of the analytic speed-of-light for this
    protocol on TPU v5e (197 TFLOP/s bf16; fp32 via 6-pass emulation)}
 
-Env knobs: BENCH_PRESET (vtp-large), BENCH_BATCH (64), BENCH_ITERS (20),
-BENCH_MODE (roundtrip|encode|decode).
+Env knobs: BENCH_PRESET (vtp-large), BENCH_BATCH (32), BENCH_ITERS (20),
+BENCH_MODE (roundtrip|encode|decode|train).
 """
 
 from __future__ import annotations
