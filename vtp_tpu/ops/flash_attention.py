@@ -101,6 +101,16 @@ def fused_attention_supported(qkv_shape, dtype, num_heads: int) -> bool:
     return vmem < 12 * 1024 * 1024
 
 
+def _rope_one(x, cos_h, sin_h, d: int):
+    """Per-head in-kernel rope (single roll; used on the qk-norm path)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    xf = x.astype(jnp.bfloat16).astype(jnp.float32)
+    rolled = pltpu.roll(xf, d // 2, 1)
+    out = xf * cos_h.astype(jnp.float32) + rolled * sin_h.astype(jnp.float32)
+    return out.astype(x.dtype) if x.dtype == jnp.float32 else out.astype(jnp.bfloat16)
+
+
 def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int):
     """Pure-JAX composition matching the fused kernel's math — used as
     the differentiation rule (custom_vjp backward) since Mosaic's
@@ -200,13 +210,18 @@ def _fused_kernel_call(
     )
 
     if use_rope:
-        # rotate-half as lane roll + sign: rot(x) = roll(x, d/2) * signs;
-        # fold the signs into the sin table host-side (tiny, once)
+        # rotate-half as lane rolls + sign: rot(x) = roll(x, +-d/2) * signs;
+        # fold the signs into the sin table and tile tables across heads
+        # host-side (tiny, once) so the kernel rotates the WHOLE q/k slab
+        # in ~6 vector ops instead of ~6 per head (per-head rope measured
+        # 0.7 ms/layer at VTP-L shapes — 16x op-dispatch overhead).
         signs = jnp.concatenate([
             -jnp.ones((d // 2,), jnp.float32), jnp.ones((d // 2,), jnp.float32)
         ])
         sin = (signs[None, :] * sin.astype(jnp.float32)).astype(jnp.bfloat16)
         cos = cos.astype(jnp.bfloat16)
+        sin = jnp.tile(sin, (1, H))  # (N, D)
+        cos = jnp.tile(cos, (1, H))
 
     def kernel(*refs):
         if use_rope and use_qk_norm:
@@ -223,27 +238,44 @@ def _fused_kernel_call(
             n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-5)
             return (n.astype(x.dtype) * w).astype(x.dtype)
 
-        def rope(x):
+        def rope_slab(x):
             # The reference rotates in the rope dtype (bf16) regardless of
             # tower precision (attention.py:70-89) — so fp32 inputs are
             # rounded to bf16 first. Mosaic's lane-rotate needs 32-bit
-            # data; the rotation itself runs in fp32 and rounds once
-            # (within 1 ulp of the reference's three-rounding sequence).
+            # data; the rotation runs in fp32 and rounds once (within 1
+            # ulp of the reference's three-rounding sequence). Rolling the
+            # full (N, H*d) slab crosses head boundaries, so combine a
+            # +d/2 and a -d/2 roll with a lane-parity select.
             xf = x.astype(jnp.bfloat16).astype(jnp.float32)
-            rolled = pltpu.roll(xf, d // 2, 1)
+            up = pltpu.roll(xf, d // 2, 1)       # lane i <- i - d/2
+            down = pltpu.roll(xf, D - d // 2, 1)  # lane i <- i + d/2 (mod D)
+            lane = jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1)
+            rolled = jnp.where(lane % d < d // 2, down, up)
             out = xf * cos_ref[:].astype(jnp.float32) + rolled * sin_ref[:].astype(jnp.float32)
             return out.astype(x.dtype) if x.dtype == jnp.float32 else out.astype(jnp.bfloat16)
 
+        if use_rope and not use_qk_norm:
+            q_slab = rope_slab(qkv_ref[0, :, :D])
+            k_slab = rope_slab(qkv_ref[0, :, D:2 * D])
+        else:
+            q_slab = k_slab = None
+
         for h in range(H):
-            q = qkv_ref[0, :, h * d:(h + 1) * d]
-            k = qkv_ref[0, :, D + h * d:D + (h + 1) * d]
+            sl_h = slice(h * d, (h + 1) * d)
+            if q_slab is not None:
+                q = q_slab[:, sl_h]
+                k = k_slab[:, sl_h]
+            else:
+                q = qkv_ref[0, :, h * d:(h + 1) * d]
+                k = qkv_ref[0, :, D + h * d:D + (h + 1) * d]
+                if use_qk_norm:
+                    q = rms(q, qs_ref[:])
+                    k = rms(k, ks_ref[:])
+                if use_rope:
+                    # per-head tables are head-tiled; any head's slice works
+                    q = _rope_one(q, cos_ref[:, sl_h], sin_ref[:, sl_h], d)
+                    k = _rope_one(k, cos_ref[:, sl_h], sin_ref[:, sl_h], d)
             v = qkv_ref[0, :, 2 * D + h * d:2 * D + (h + 1) * d]
-            if use_qk_norm:
-                q = rms(q, qs_ref[:])
-                k = rms(k, ks_ref[:])
-            if use_rope:
-                q = rope(q)
-                k = rope(k)
             scores = jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -263,7 +295,7 @@ def _fused_kernel_call(
                             memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec((N, d), lambda b: (0, 0), memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((N, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((d,), lambda b: (0,), memory_space=pltpu.VMEM)
 
     inputs = [qkv]
