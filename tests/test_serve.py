@@ -1,0 +1,48 @@
+"""Batched serving runtime."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from vtp_tpu.config import VTPConfig
+from vtp_tpu.models.vtp_model import VTPModel
+from vtp_tpu.serve import VTPServer
+
+TINY = VTPConfig(
+    image_size=32, vision_patch_size=16, vision_embed_dim=64, vision_depth=2,
+    vision_num_heads=2, vision_feature_bottleneck=16, text_context_length=8,
+    text_vocab_size=64, text_embed_dim=64, text_num_heads=2, text_depth=2,
+    decoder_embed_dim=64, decoder_num_heads=2, decoder_depth=2,
+)
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = VTPModel.init(jax.random.key(0), TINY, encode_dtype=None)
+    srv = VTPServer(model, batch_size=4, max_wait_ms=20)
+    yield srv
+    srv.shutdown()
+
+
+def test_batched_encode_roundtrip(server, rng):
+    imgs = [rng.standard_normal((n, 3, 32, 32)).astype(np.float32) for n in (1, 3, 2)]
+    futs = [server.submit_encode(x) for x in imgs]
+    outs = [f.result(timeout=120) for f in futs]
+    for x, z in zip(imgs, outs):
+        assert z.shape == (x.shape[0], 16, 2, 2)
+    # coalesced result identical to direct call
+    direct = np.asarray(server.model.get_reconstruction_latents(imgs[1]))
+    np.testing.assert_allclose(outs[1], direct, atol=1e-5)
+
+    dec = server.submit_decode(outs[0]).result(timeout=120)
+    assert dec.shape == (1, 3, 32, 32)
+
+
+def test_mixed_kinds(server, rng):
+    img = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    tok = rng.integers(1, 60, (2, 8))
+    f1 = server.submit_clip_image(img)
+    f2 = server.submit_clip_text(tok)
+    assert f1.result(timeout=120).shape == (2, 64)
+    assert f2.result(timeout=120).shape == (2, 64)
