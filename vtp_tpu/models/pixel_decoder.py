@@ -99,9 +99,16 @@ def pixel_decoder_forward(
     (pixel_decoder.py:134-162). Runs fp32 by default, matching the
     reference's decode-under-fp32 eval protocol; in that mode matmuls
     are pinned to float32 precision (TPU's DEFAULT would silently
-    truncate fp32 operands to bf16 on the MXU and drift rFID)."""
+    truncate fp32 operands to bf16 on the MXU and drift rFID).
+
+    ``VTP_DECODE_PRECISION=high`` selects 3-pass (tf32-class) fp32
+    matmuls (~1.6x faster decode); validate rFID impact before using it
+    for reported numbers."""
     if compute_dtype is None:
-        with jax.default_matmul_precision("float32"):
+        import os
+
+        precision = os.environ.get("VTP_DECODE_PRECISION", "float32")
+        with jax.default_matmul_precision(precision):
             return _pixel_decoder_forward(params, cfg, latents, None, remat)
     return _pixel_decoder_forward(params, cfg, latents, compute_dtype, remat)
 
