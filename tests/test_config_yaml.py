@@ -1,0 +1,83 @@
+"""Legacy VTP YAML config import — cross-checked against the reference's
+own converter (configuration_vtp.py:168-233)."""
+
+import pytest
+
+from tests.reference_loader import load_reference, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+
+YAML = """
+data:
+  image_size: 256
+training:
+  train_clip: true
+  train_reconstruction: true
+  init_logit_scale: null
+  init_logit_bias: null
+  nonscalar_logit_scale: false
+vtp_model:
+  vision_encoder:
+    patch_size: 16
+    embed_dim: 1024
+    depth: 24
+    num_heads: 16
+    mlp_ratio: 4.0
+    ffn_layer: swiglu
+    norm_type: rmsnorm
+    vit_feature_bottleneck: 64
+    bottleneck_ae_only: true
+    clip_feat: cls
+  text_encoder:
+    context_length: 77
+    vocab_size: 49408
+    embed_dim: 768
+    heads: 12
+    layers: 12
+    mlp_ratio: 4.0
+    embed_cls: false
+    pad_id: 0
+    no_causal_mask: false
+    pool_type: argmax
+    proj_type: linear
+    proj_bias: false
+    output_tokens: false
+    quick_gelu: false
+  pixel_decoder:
+    embed_dim: 1024
+    num_heads: 16
+    depth: 24
+    ffn_layer: swiglu
+    norm_layer: layernorm
+"""
+
+
+def test_from_vtp_yaml_matches_reference_converter(tmp_path):
+    path = tmp_path / "vtp_l.yaml"
+    path.write_text(YAML)
+
+    from vtp_tpu.config import VTPConfig
+
+    ours = VTPConfig.from_vtp_yaml(str(path))
+    assert ours.vision_embed_dim == 1024 and ours.vision_depth == 24
+    assert ours.vision_feature_bottleneck == 64
+    assert ours.decoder_norm_layer == "layernorm"
+
+    # cross-check field-by-field against the reference's converter
+    # (needs omegaconf, which is stubbed here — so replicate via the
+    # reference HF config constructed from the same values)
+    vtp_hf = load_reference()
+    ref_cfg = vtp_hf.VTPConfig(
+        image_size=256, vision_patch_size=16, vision_embed_dim=1024,
+        vision_depth=24, vision_num_heads=16, vision_feature_bottleneck=64,
+        decoder_embed_dim=1024, decoder_num_heads=16, decoder_depth=24,
+    )
+    for field in ("image_size", "vision_patch_size", "vision_embed_dim",
+                  "vision_depth", "vision_num_heads", "vision_mlp_ratio",
+                  "vision_ffn_layer", "vision_norm_layer",
+                  "vision_feature_bottleneck", "vision_bottleneck_ae_only",
+                  "vision_clip_feat", "text_context_length", "text_vocab_size",
+                  "text_embed_dim", "text_num_heads", "text_depth",
+                  "text_pool_type", "decoder_embed_dim", "decoder_depth",
+                  "decoder_norm_layer", "decoder_ffn_layer"):
+        assert getattr(ours, field) == getattr(ref_cfg, field), field

@@ -129,6 +129,63 @@ class VTPConfig:
         with open(path) as f:
             return cls.from_dict(json.load(f))
 
+    @classmethod
+    def from_vtp_yaml(cls, yaml_path: str) -> "VTPConfig":
+        """Import a legacy VTP training YAML (the OmegaConf structure the
+        reference converts in configuration_vtp.py:168-233:
+        ``vtp_model.{vision_encoder,text_encoder,pixel_decoder}`` +
+        ``training`` + ``data.image_size``)."""
+        import yaml
+
+        with open(yaml_path) as f:
+            cfg = yaml.safe_load(f)
+        vis = cfg["vtp_model"]["vision_encoder"]
+        txt = cfg["vtp_model"]["text_encoder"]
+        dec = cfg["vtp_model"]["pixel_decoder"]
+        tr = cfg["training"]
+        return cls(
+            image_size=cfg["data"]["image_size"],
+            train_clip=tr["train_clip"],
+            train_reconstruction=tr["train_reconstruction"],
+            vision_patch_size=vis["patch_size"],
+            vision_embed_dim=vis["embed_dim"],
+            vision_depth=vis["depth"],
+            vision_num_heads=vis["num_heads"],
+            vision_mlp_ratio=vis["mlp_ratio"],
+            vision_ffn_layer=vis["ffn_layer"],
+            vision_norm_layer=vis["norm_type"],
+            vision_init_values=vis.get("init_values"),
+            vision_use_qk_norm=vis.get("use_qk_norm", False),
+            vision_feature_bottleneck=vis["vit_feature_bottleneck"],
+            vision_bottleneck_ae_only=vis["bottleneck_ae_only"],
+            vision_clip_feat=vis["clip_feat"],
+            text_context_length=txt["context_length"],
+            text_vocab_size=txt["vocab_size"],
+            text_embed_dim=txt["embed_dim"],
+            text_num_heads=txt["heads"],
+            text_depth=txt["layers"],
+            text_mlp_ratio=txt["mlp_ratio"],
+            text_ls_init_value=txt.get("ls_init_value"),
+            text_embed_cls=txt["embed_cls"],
+            text_pad_id=txt["pad_id"],
+            text_no_causal_mask=txt["no_causal_mask"],
+            text_pool_type=txt["pool_type"],
+            text_proj_type=txt["proj_type"],
+            text_proj_bias=txt["proj_bias"],
+            text_output_tokens=txt["output_tokens"],
+            text_quick_gelu=txt["quick_gelu"],
+            decoder_embed_dim=dec["embed_dim"],
+            decoder_num_heads=dec["num_heads"],
+            decoder_depth=dec["depth"],
+            decoder_ffn_layer=dec["ffn_layer"],
+            decoder_norm_layer=dec["norm_layer"],
+            decoder_init_values=dec.get("layerscale_init"),
+            decoder_use_qk_norm=dec.get("use_qk_norm", False),
+            init_logit_scale=tr.get("init_logit_scale"),
+            init_logit_bias=tr.get("init_logit_bias"),
+            nonscalar_logit_scale=tr.get("nonscalar_logit_scale", False),
+        )
+
 
 def _decoder_for(size: str) -> Dict[str, Any]:
     # Reference pixel-decoder factories (decoders/pixel_decoder.py:166-214);
