@@ -171,3 +171,12 @@ def test_bf16_protocol_close_to_fp32(models, image):
     scale = float(np.abs(np.asarray(lat32)).mean())
     err = float(np.abs(np.asarray(lat16, np.float32) - np.asarray(lat32)).mean())
     assert err < 0.05 * max(scale, 1e-3), (err, scale)
+
+
+def test_intermediate_layers_index_list(models, image):
+    tmodel, jmodel = models
+    with torch.no_grad():
+        ref = tmodel.get_intermediate_layers_feature(torch.from_numpy(image), n=[0])
+    ours = jmodel.get_intermediate_layers_feature(jnp.asarray(image), n=[0])
+    assert len(ours) == len(ref) == 1
+    close(ours[0], ref[0], what="block-0 patches via index list")
