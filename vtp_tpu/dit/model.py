@@ -203,6 +203,7 @@ def dit_forward(
     y: jax.Array,          # (B,) int labels (cfg.null_label for uncond)
     *,
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
+    remat: bool = False,
 ) -> jax.Array:
     """Predict velocity field v(x_t, t, y); returns (B, C, H, W)."""
     B, C, H, W = x.shape
@@ -226,6 +227,8 @@ def dit_forward(
     def body(carry, layer_params):
         return _dit_block(carry, cond, layer_params, cfg, rope, compute_dtype), None
 
+    if remat:
+        body = jax.checkpoint(body)
     h, _ = jax.lax.scan(body, h, params["blocks"])
 
     ada = linear(jax.nn.silu(cond), params["final"]["ada"], compute_dtype).astype(jnp.float32)

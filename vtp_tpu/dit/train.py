@@ -39,6 +39,7 @@ class DiTTrainConfig:
     use_cosine_loss: bool = True
     class_dropout_prob: float = 0.1
     compute_dtype: Optional[str] = "bf16"
+    remat: bool = True
 
     @property
     def jnp_compute_dtype(self):
@@ -82,7 +83,7 @@ def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
 
         def loss_fn(params):
             model_fn = lambda xt, t, yy: dit_forward(
-                params, cfg, xt, t, yy, compute_dtype=cdt
+                params, cfg, xt, t, yy, compute_dtype=cdt, remat=tcfg.remat
             )
             return training_losses(
                 model_fn, k_loss, latents, y,
