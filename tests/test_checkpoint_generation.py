@@ -112,3 +112,17 @@ def test_vtp_tokenizer_adapter(rng):
     assert z.shape == (1, 16, 2, 2) and z.dtype == np.float32
     out = tok.decode_to_images(z)
     assert out.shape == (1, 32, 32, 3) and out.dtype == np.uint8
+
+
+def test_tokenizer_sharded_encode(rng):
+    """VTPTokenizer with a data-sharded batch matches unsharded."""
+    from vtp_tpu.generation import VTPTokenizer
+    from vtp_tpu.parallel import batch_sharding, make_mesh
+
+    params = init_vtp_params(jax.random.key(0), TINY)
+    mesh = make_mesh(8, 1)
+    tok_s = VTPTokenizer(TINY, params, img_size=32,
+                         data_sharding=batch_sharding(mesh))
+    tok_p = VTPTokenizer(TINY, params, img_size=32)
+    x = rng.standard_normal((16, 3, 32, 32)).astype(np.float32)
+    np.testing.assert_allclose(tok_s.encode_images(x), tok_p.encode_images(x), atol=1e-5)

@@ -46,8 +46,17 @@ def main() -> None:
     from vtp_tpu.generation import VTPTokenizer, compute_latent_stats
     from vtp_tpu.generation.latents import save_latent_shard
 
+    import jax
+
+    from vtp_tpu.parallel import batch_sharding, make_mesh
+
+    sharding = None
+    if jax.device_count() > 1:
+        sharding = batch_sharding(make_mesh())
+        print(f"sharding batches over {jax.device_count()} devices")
     tokenizer = VTPTokenizer.from_checkpoint(
-        args.model_path, img_size=args.image_size, normalize_type=args.normalize_type
+        args.model_path, img_size=args.image_size, normalize_type=args.normalize_type,
+        data_sharding=sharding,
     )
     model_name = os.path.basename(args.model_path.rstrip("/"))
     output_dir = os.path.join(

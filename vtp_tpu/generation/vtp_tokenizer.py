@@ -43,7 +43,9 @@ class VTPTokenizer:
         img_size: int = 256,
         normalize_type: str = "imagenet",
         compute_dtype=jnp.bfloat16,
+        data_sharding=None,  # optional NamedSharding for batch DP
     ):
+        self.data_sharding = data_sharding
         self.config = config
         self.params = params
         self.img_size = img_size
@@ -94,15 +96,25 @@ class VTPTokenizer:
 
         return transform
 
+    def _put(self, x):
+        x = jnp.asarray(x)
+        if (self.data_sharding is not None
+                and x.shape[0] % self.data_sharding.mesh.shape["data"] == 0):
+            return jax.device_put(x, self.data_sharding)
+        return x
+
     def encode_images(self, images) -> np.ndarray:
-        """(B, 3, H, W) normalized -> (B, d, H/p, W/p) fp32 host latents."""
-        z = self._encode(self.params, jnp.asarray(images))
+        """(B, 3, H, W) normalized -> (B, d, H/p, W/p) fp32 host latents.
+        With ``data_sharding`` set, the batch shards over the device
+        mesh (the SPMD replacement for the reference's per-rank DDP
+        loaders, extract_features_vtp.py:54-66)."""
+        z = self._encode(self.params, self._put(images))
         return np.asarray(z, np.float32)
 
     def decode_to_images(self, z) -> np.ndarray:
         """(B, d, h, w) latents -> (B, H, W, 3) uint8
         (vtp_tokenizer.py:95-111)."""
-        decoded = self._decode(self.params, jnp.asarray(z, jnp.float32))
+        decoded = self._decode(self.params, self._put(jnp.asarray(z, jnp.float32)))
         decoded = np.asarray(decoded, np.float32)
         decoded = decoded * self.norm_std[None] + self.norm_mean[None]
         images = np.clip(decoded * 255.0, 0, 255)
