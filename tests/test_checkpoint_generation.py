@@ -126,3 +126,32 @@ def test_tokenizer_sharded_encode(rng):
     tok_p = VTPTokenizer(TINY, params, img_size=32)
     x = rng.standard_normal((16, 3, 32, 32)).astype(np.float32)
     np.testing.assert_allclose(tok_s.encode_images(x), tok_p.encode_images(x), atol=1e-5)
+
+
+def test_format_routing_both_ways(tmp_path, rng):
+    """from_torch_checkpoint on a NATIVE dir routes to the native loader
+    (and load_pretrained on an HF dir routes to the converter)."""
+    params = init_vtp_params(jax.random.key(0), TINY)
+    save_pretrained(str(tmp_path / "native"), TINY, params)
+
+    from vtp_tpu.convert.from_torch import load_vtp_checkpoint
+
+    cfg2, params2 = load_vtp_checkpoint(str(tmp_path / "native"))
+    assert cfg2 == TINY
+    x = jax.random.normal(jax.random.key(1), (1, 3, 32, 32))
+    np.testing.assert_array_equal(
+        np.asarray(VTPModel(TINY, params, encode_dtype=None).get_reconstruction_latents(x)),
+        np.asarray(VTPModel(cfg2, params2, encode_dtype=None).get_reconstruction_latents(x)),
+    )
+
+    # HF-format dir through load_pretrained (reverse routing)
+    from vtp_tpu.checkpoint import load_pretrained
+    from vtp_tpu.convert.to_torch import save_hf_checkpoint
+
+    save_hf_checkpoint(str(tmp_path / "hf"), params, TINY)
+    cfg3, params3 = load_pretrained(str(tmp_path / "hf"))
+    np.testing.assert_allclose(
+        np.asarray(VTPModel(cfg3, params3, encode_dtype=None).get_reconstruction_latents(x)),
+        np.asarray(VTPModel(TINY, params, encode_dtype=None).get_reconstruction_latents(x)),
+        atol=1e-5,
+    )

@@ -266,10 +266,16 @@ def load_vtp_checkpoint(
 ) -> Tuple[VTPConfig, dict]:
     """Load a released HF checkpoint directory (config.json +
     *.safetensors) into (VTPConfig, params)."""
+    cfg_path = os.path.join(path, "config.json") if os.path.isdir(path) else path
+    with open(cfg_path if cfg_path.endswith(".json") else os.path.join(path, "config.json")) as f:
+        cfg_dict = json.load(f)
+    if cfg_dict.get("model_format") == "vtp_tpu":
+        # native checkpoint — route to the native loader
+        from vtp_tpu.checkpoint import load_pretrained
+
+        return load_pretrained(path)
     if config is None:
-        cfg_path = os.path.join(path, "config.json") if os.path.isdir(path) else path
-        with open(cfg_path if cfg_path.endswith(".json") else os.path.join(path, "config.json")) as f:
-            config = VTPConfig.from_dict(json.load(f))
+        config = VTPConfig.from_dict(cfg_dict)
     sd = _load_safetensors_dir(path)
     # Strip an optional "vtp." base-model prefix.
     if any(k.startswith("vtp.") for k in sd):
