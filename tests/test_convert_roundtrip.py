@@ -59,9 +59,10 @@ def test_export_loads_in_torch_reference(rng):
         {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd_np.items()},
         strict=False,
     )
-    # attn_mask is a non-persistent buffer; nothing else may be missing
+    # attn_mask is a non-persistent buffer (absent from state_dict), so
+    # NOTHING may be missing or unexpected — exact coverage both ways.
     assert not unexpected, unexpected
-    assert all("attn_mask" in m or "bias_mask" in m for m in missing), missing
+    assert not missing, missing
 
     x = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
     with torch.no_grad():

@@ -96,6 +96,8 @@ def export_state_dict(params: dict, cfg: VTPConfig) -> Dict[str, Array]:
     _norm_out(sd, "trunk.norm", t["norm"])
     if "cls_norm" in t:
         _norm_out(sd, "trunk.cls_norm", t["cls_norm"])
+    if "local_cls_norm" in t:
+        _norm_out(sd, "trunk.local_cls_norm", t["local_cls_norm"])
     if "feature_bottleneck" in t:
         sd["trunk.feature_bottleneck.weight"] = _t(t["feature_bottleneck"]["kernel"])
 
@@ -106,6 +108,8 @@ def export_state_dict(params: dict, cfg: VTPConfig) -> Dict[str, Array]:
         tx = params["text"]
         sd["token_embedding.weight"] = _np(tx["token_embedding"])
         sd["positional_embedding"] = _np(tx["positional_embedding"])
+        if "cls_emb" in tx:
+            sd["cls_emb"] = _np(tx["cls_emb"])
         import jax
 
         for i in range(cfg.text_depth):

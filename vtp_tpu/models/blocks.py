@@ -50,6 +50,7 @@ class BlockConfig:
     ffn_bias: bool = True
     layerscale_init: Optional[float] = None
     use_qk_norm: bool = False
+    mask_k_bias: bool = False  # LinearKMaskedBias (attention.py:26-38)
     act: str = "gelu"
 
     @property
@@ -158,7 +159,19 @@ def attention_apply(
     import os
 
     nh, hd = cfg.num_heads, cfg.head_dim
-    qkv_flat = linear(flat_normed, p["qkv"], compute_dtype)
+    qkv_p = p["qkv"]
+    if cfg.mask_k_bias and qkv_p.get("bias") is not None:
+        # LinearKMaskedBias (attention.py:26-38): the K third of the qkv
+        # bias is multiplied by a zero mask every forward — the bias
+        # stays trainable but K's slice gets zero value AND zero grad.
+        # The mask is static (config-derived), so XLA constant-folds it.
+        d = cfg.dim
+        mask = jnp.concatenate(
+            [jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32),
+             jnp.ones((d,), jnp.float32)]
+        )
+        qkv_p = dict(qkv_p, bias=qkv_p["bias"] * mask)
+    qkv_flat = linear(flat_normed, qkv_p, compute_dtype)
     outs = []
     for (b, n), rope in zip(shapes, ropes):
         off = sum(bb * nn for bb, nn in shapes[: len(outs)])

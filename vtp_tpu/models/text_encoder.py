@@ -42,6 +42,7 @@ class TextConfig:
     proj_type: str = "linear"  # linear | none (bare-matrix ckpts convert to linear)
     proj_bias: bool = False
     quick_gelu: bool = False
+    output_tokens: bool = False  # text_transformer.py:449-450
     ln_eps: float = 1e-5  # torch nn.LayerNorm default
 
     @property
@@ -136,6 +137,47 @@ def causal_mask(n: int) -> jax.Array:
     return jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)
 
 
+def build_cls_mask(text: jax.Array, pad_id: int) -> jax.Array:
+    """Pad-aware additive mask for the appended cls token
+    (text_transformer.py:340-347).
+
+    Matches the reference construction exactly: the (B, 1, L) pad mask
+    is F.pad'ed with one always-True column on the key axis' LEFT and L
+    all-True rows on top, so only the final (cls) query row masks
+    anything — key 0 stays visible and key j>0 carries token j-1's pad
+    status. Returns ``(B, 1, L+1, L+1)`` fp32, broadcastable over heads
+    (the reference repeat_interleaves over heads instead; equivalent).
+    """
+    B, L = text.shape
+    valid = text != pad_id  # (B, L)
+    keys = jnp.pad(valid, ((0, 0), (1, 0)), constant_values=True)  # (B, L+1)
+    cls_row = jnp.where(keys, 0.0, -jnp.inf).astype(jnp.float32)  # (B, L+1)
+    mask = jnp.zeros((B, L + 1, L + 1), jnp.float32).at[:, L, :].set(cls_row)
+    return mask[:, None]
+
+
+def _text_embeds(
+    params: dict, cfg: TextConfig, text: jax.Array
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """Token embeddings (+ optional appended cls token) and the
+    attention mask (text_transformer.py:349-361)."""
+    B, L = text.shape
+    x = params["token_embedding"][text]
+    seq = L
+    mask = None if cfg.no_causal_mask else causal_mask(cfg.num_pos)
+    if cfg.embed_cls:
+        seq = L + 1
+        cls_tok = jnp.broadcast_to(params["cls_emb"][None, None, :], (B, 1, cfg.width))
+        x = jnp.concatenate([x, cls_tok.astype(x.dtype)], axis=1)
+        cls_mask = build_cls_mask(text, cfg.pad_id)
+        if mask is not None:
+            mask = mask[None, None, :seq, :seq] + cls_mask[:, :, :seq, :seq]
+    elif mask is not None:
+        mask = mask[:seq, :seq]
+    x = x + params["positional_embedding"][:seq]
+    return x, mask
+
+
 def text_global_pool(x: jax.Array, text: Optional[jax.Array], pool_type: str) -> jax.Array:
     if pool_type == "first":
         return x[:, 0]
@@ -168,15 +210,14 @@ def text_forward_intermediates(
     *,
     normalize_intermediates: bool = False,
     intermediates_only: bool = False,
+    output_extra_tokens: bool = False,
     compute_dtype: Optional[jnp.dtype] = None,
 ) -> dict:
     """Text tower with intermediate activations
     (text_transformer.py:363-413). Returns {text_intermediates,
-    text_features?}."""
-    B, L = text.shape
+    text_features?, text_intermediates_suffix?}."""
     take, _ = feature_take_indices(cfg.layers, indices)
-    x = params["token_embedding"][text] + params["positional_embedding"][:L]
-    mask = None if cfg.no_causal_mask else causal_mask(L)
+    x, mask = _text_embeds(params, cfg, text)
 
     def body(carry, p):
         out = _text_block(carry, p, cfg, mask, compute_dtype)
@@ -189,16 +230,78 @@ def text_forward_intermediates(
             layer_norm(t, params["ln_final"]["scale"], params["ln_final"]["bias"], cfg.ln_eps)
             for t in inter
         ]
-    out = {"text_intermediates": inter}
+    out = {}
+    if cfg.embed_cls:
+        # split the appended cls slot off each intermediate
+        # (text_transformer.py:387-392)
+        if output_extra_tokens:
+            out["text_intermediates_suffix"] = [t[:, -1:] for t in inter]
+        inter = [t[:, :-1] for t in inter]
+    out["text_intermediates"] = inter
     if intermediates_only:
         return out
-    x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], cfg.ln_eps)
-    pooled = text_global_pool(x, text, cfg.pool_type)
+    out["text_features"] = _pool_project(params, cfg, x, text, compute_dtype)
+    return out
+
+
+def prune_intermediate_layers(
+    params: dict,
+    cfg: TextConfig,
+    indices=1,
+    *,
+    prune_norm: bool = False,
+    prune_head: bool = True,
+) -> Tuple[dict, TextConfig, list]:
+    """Drop layers (and optionally ln_final / projection) not needed for
+    the requested intermediates (text_transformer.py:415-427).
+
+    Params are stacked along the depth axis, so pruning is a slice of
+    every block leaf. Returns ``(pruned_params, pruned_cfg, take_indices)``
+    — configs are frozen dataclasses, so a new one is returned instead of
+    mutating in place.
+    """
+    take, max_index = feature_take_indices(cfg.layers, indices)
+    keep = max_index + 1
+    params = dict(params)
+    params["blocks"] = jax.tree.map(lambda a: a[:keep], params["blocks"])
+    if prune_norm:
+        w = cfg.width
+        params["ln_final"] = {
+            "scale": jnp.ones((w,), jnp.float32),
+            "bias": jnp.zeros((w,), jnp.float32),
+        }
+    if prune_head:
+        params.pop("text_projection", None)
+    return params, dataclasses.replace(cfg, layers=keep), take
+
+
+def _pool_project(
+    params: dict,
+    cfg: TextConfig,
+    x: jax.Array,
+    text: jax.Array,
+    compute_dtype: Optional[jnp.dtype],
+    *,
+    want_tokens: bool = False,
+):
+    """Final-norm + pool + projection (text_transformer.py:429-452).
+    With embed_cls the pool is the appended last token and ln_final is
+    applied AFTER pooling (only to the pooled vector); tokens stay
+    unnormed."""
+    ln = params["ln_final"]
+    if cfg.embed_cls:
+        pooled = layer_norm(x[:, -1], ln["scale"], ln["bias"], cfg.ln_eps)
+        tokens = x[:, :-1]
+    else:
+        x = layer_norm(x, ln["scale"], ln["bias"], cfg.ln_eps)
+        pooled = text_global_pool(x, text, cfg.pool_type)
+        tokens = x
     proj = params.get("text_projection")
     if proj is not None:
         pooled = linear(pooled, proj, compute_dtype)
-    out["text_features"] = pooled
-    return out
+    if want_tokens:
+        return pooled, tokens
+    return pooled
 
 
 def text_encode(
@@ -210,26 +313,23 @@ def text_encode(
     compute_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     """Token IDs (B, L) -> pooled, projected text features
-    (modeling_vtp.py:295-310)."""
-    B, L = text.shape
-    # Embedding lookups are not autocast ops in torch — the residual
-    # stream stays fp32; each linear casts to compute_dtype internally.
-    x = params["token_embedding"][text]
-    x = x + params["positional_embedding"][:L]
+    (modeling_vtp.py:295-310, text_transformer.py:429-452). When
+    ``cfg.output_tokens`` is set, returns ``(pooled, tokens)`` where
+    tokens are the (unprojected) sequence features.
 
-    mask = None if cfg.no_causal_mask else causal_mask(L)
+    Embedding lookups are not autocast ops in torch — the residual
+    stream stays fp32; each linear casts to compute_dtype internally."""
+    x, mask = _text_embeds(params, cfg, text)
 
     def body(carry, p):
         return _text_block(carry, p, cfg, mask, compute_dtype), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
-    x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"], cfg.ln_eps)
-    pooled = text_global_pool(x, text, cfg.pool_type)
-    proj = params.get("text_projection")
-    if proj is not None:
-        pooled = linear(pooled, proj, compute_dtype)
+    pooled, tokens = _pool_project(params, cfg, x, text, compute_dtype, want_tokens=True)
     if normalize:
         # torch F.normalize clamps the norm at eps=1e-12
         n = jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-12)
         pooled = pooled / n
+    if cfg.output_tokens:
+        return pooled, tokens
     return pooled

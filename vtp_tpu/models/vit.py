@@ -45,6 +45,7 @@ class ViTConfig:
     proj_bias: bool = True
     ffn_bias: bool = True
     n_storage_tokens: int = 0
+    mask_k_bias: bool = False
     untie_cls_and_patch_norms: bool = False
     untie_global_and_local_cls_norm: bool = False
     feature_bottleneck: Optional[int] = None  # None or == embed_dim -> no bottleneck
@@ -71,6 +72,7 @@ class ViTConfig:
             ffn_bias=self.ffn_bias,
             layerscale_init=self.layerscale_init,
             use_qk_norm=self.use_qk_norm,
+            mask_k_bias=self.mask_k_bias,
         )
 
     @property

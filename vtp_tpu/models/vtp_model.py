@@ -61,6 +61,7 @@ def vit_config_from(cfg: VTPConfig) -> ViTConfig:
         proj_bias=cfg.vision_proj_bias,
         ffn_bias=cfg.vision_ffn_bias,
         n_storage_tokens=cfg.vision_n_storage_tokens,
+        mask_k_bias=cfg.vision_mask_k_bias,
         untie_cls_and_patch_norms=cfg.vision_untie_cls_and_patch_norms,
         untie_global_and_local_cls_norm=cfg.vision_untie_global_and_local_cls_norm,
         feature_bottleneck=cfg.vision_feature_bottleneck,
@@ -116,6 +117,7 @@ def text_config_from(cfg: VTPConfig) -> TextConfig:
         proj_type=cfg.text_proj_type,
         proj_bias=cfg.text_proj_bias,
         quick_gelu=cfg.text_quick_gelu,
+        output_tokens=cfg.text_output_tokens,
     )
 
 
@@ -203,11 +205,15 @@ def get_clip_text_feature(
     normalize: bool = True,
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
 ) -> jax.Array:
-    """(modeling_vtp.py:278-310)."""
-    return text_encode(
+    """(modeling_vtp.py:278-310). Always returns the pooled feature —
+    when ``text_output_tokens`` is set the sequence tokens are dropped
+    here (the reference HF path never surfaces them; use ``text_encode``
+    directly for the ``(pooled, tokens)`` pair)."""
+    out = text_encode(
         params["text"], text_config_from(cfg), text,
         normalize=normalize, compute_dtype=compute_dtype,
     )
+    return out[0] if isinstance(out, tuple) else out
 
 
 def get_clip_logits(

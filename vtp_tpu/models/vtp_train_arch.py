@@ -87,11 +87,14 @@ class VTP:
         return l2_normalize(feat) if normalize else feat
 
     def encode_text(self, text, normalize: bool = False):
-        """(vtp.py:295-312)."""
-        return text_encode(
+        """(vtp.py:295-312) — pooled feature only, like the reference's
+        meta-arch encode_text (which bypasses the tower's
+        embed_cls/output_tokens forward)."""
+        out = text_encode(
             self.params["text"], self._tcfg, text,
             normalize=normalize, compute_dtype=self.compute_dtype,
         )
+        return out[0] if isinstance(out, tuple) else out
 
     def get_logits(self, image, text) -> Tuple[jax.Array, jax.Array]:
         """(vtp.py:314-321)."""

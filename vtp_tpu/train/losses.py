@@ -86,10 +86,24 @@ def ibot_loss(
 
 
 def update_center(
-    center: jax.Array, teacher_logits: jax.Array, momentum: float = 0.9
+    center: jax.Array,
+    teacher_logits: jax.Array,
+    momentum: float = 0.9,
+    weight: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """EMA center update over the global batch of teacher logits."""
-    batch_center = jnp.mean(teacher_logits, axis=0)
+    """EMA center update over the global batch of teacher logits.
+
+    ``weight`` masks padded rows: the iBOT buffer is padded to the
+    static ``upperbound`` with index-0 duplicates (vtp.py:432-439), so
+    an unweighted mean would bias the center toward token 0's logits.
+    """
+    if weight is None:
+        batch_center = jnp.mean(teacher_logits, axis=0)
+    else:
+        w = weight.astype(teacher_logits.dtype)
+        batch_center = (teacher_logits * w[:, None]).sum(axis=0) / jnp.maximum(
+            w.sum(), 1.0
+        )
     return momentum * center + (1.0 - momentum) * batch_center
 
 

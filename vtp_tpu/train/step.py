@@ -221,7 +221,8 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
             else out["x_norm_patchtokens"].mean(axis=1)
         )
         img = l2_normalize(linear(feat, params["visual_proj"], cdt))
-        txt = l2_normalize(text_encode(params["text"], txtcfg, text, compute_dtype=cdt))
+        t_out = text_encode(params["text"], txtcfg, text, compute_dtype=cdt)
+        txt = l2_normalize(t_out[0] if isinstance(t_out, tuple) else t_out)
         if params.get("logit_bias") is not None:
             return siglip_loss(img, txt, params["logit_scale"], params["logit_bias"])
         return clip_loss(img, txt, params["logit_scale"])
@@ -352,7 +353,8 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
                     state["dino_center"], t_cls_head, tcfg.center_momentum
                 )
                 new_state["ibot_center"] = update_center(
-                    state["ibot_center"], t_masked_head, tcfg.center_momentum
+                    state["ibot_center"], t_masked_head, tcfg.center_momentum,
+                    weight=batch["ssl"]["mask_weight"],
                 )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
