@@ -1,0 +1,184 @@
+"""Parity for the full MultimodalTransformer / CustomTransformer towers
+and the complete CustomResidualAttentionBlock against the live torch
+reference (text_transformer.py:111-210,455-557; block.py:430-476)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.reference_loader import load_reference, reference_available
+
+pytestmark = pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+
+load_reference()
+
+import torch  # noqa: E402
+from vtp.models.encoders.text_transformer import (  # noqa: E402
+    CustomTransformer as RefCustomTransformer,
+    MultimodalTransformer as RefMultimodal,
+)
+from vtp.models.layers.block import CustomResidualAttentionBlock as RefCustomBlock  # noqa: E402
+
+from vtp_tpu.models.extras import (  # noqa: E402
+    custom_resblock_apply,
+    custom_transformer_forward,
+    init_custom_transformer_params,
+    init_multimodal_transformer_params,
+    multimodal_transformer_forward,
+)
+
+W, HEADS, LAYERS = 32, 2, 2
+
+
+def _ln(m):
+    return {"scale": jnp.asarray(m.weight.detach().numpy()),
+            "bias": jnp.asarray(m.bias.detach().numpy())}
+
+
+def _lin(m):
+    return {"kernel": jnp.asarray(m.weight.detach().numpy().T),
+            "bias": jnp.asarray(m.bias.detach().numpy())}
+
+
+def _resblock_from_torch(blk, cross=False):
+    p = {
+        "ln_1": _ln(blk.ln_1),
+        "attn": {
+            "in_proj": {"kernel": jnp.asarray(blk.attn.in_proj_weight.detach().numpy().T),
+                        "bias": jnp.asarray(blk.attn.in_proj_bias.detach().numpy())},
+            "out_proj": _lin(blk.attn.out_proj),
+        },
+        "ln_2": _ln(blk.ln_2),
+        "mlp": {"c_fc": _lin(blk.mlp.c_fc), "c_proj": _lin(blk.mlp.c_proj)},
+    }
+    if cross:
+        p["ln_1_kv"] = _ln(blk.ln_1_kv)
+    return p
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def test_multimodal_transformer_full_tower(rng):
+    torch.manual_seed(0)
+    ref = RefMultimodal(width=W, layers=LAYERS, heads=HEADS,
+                        context_length=10, output_dim=16).eval()
+    # reference leaves params as torch.empty (its init_parameters is
+    # never called by the ctor); fill with seeded values for the oracle
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0, 0.02)
+    params = {
+        "resblocks": _stack([_resblock_from_torch(b) for b in ref.resblocks]),
+        "cross_attn": _stack([_resblock_from_torch(b, cross=True) for b in ref.cross_attn]),
+        "ln_final": _ln(ref.ln_final),
+        "text_projection": {"kernel": jnp.asarray(ref.text_projection.detach().numpy()),
+                            "bias": None},
+    }
+    img = rng.standard_normal((2, 5, W)).astype(np.float32)
+    txt = rng.standard_normal((2, 10, W)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img), torch.from_numpy(txt)).numpy()
+    got = multimodal_transformer_forward(
+        params, jnp.asarray(img), jnp.asarray(txt), HEADS, context_length=10
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
+
+
+def test_multimodal_shorter_sequence(rng):
+    """The causal mask must be sliced to the runtime sequence length
+    (text_transformer.py:535,543)."""
+    torch.manual_seed(1)
+    ref = RefMultimodal(width=W, layers=1, heads=HEADS,
+                        context_length=10, output_dim=8).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0, 0.02)
+    params = {
+        "resblocks": _stack([_resblock_from_torch(b) for b in ref.resblocks]),
+        "cross_attn": _stack([_resblock_from_torch(b, cross=True) for b in ref.cross_attn]),
+        "ln_final": _ln(ref.ln_final),
+        "text_projection": {"kernel": jnp.asarray(ref.text_projection.detach().numpy()),
+                            "bias": None},
+    }
+    img = rng.standard_normal((1, 4, W)).astype(np.float32)
+    txt = rng.standard_normal((1, 6, W)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(img), torch.from_numpy(txt)).numpy()
+    got = multimodal_transformer_forward(
+        params, jnp.asarray(img), jnp.asarray(txt), HEADS, context_length=10
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-4)
+
+
+def _custom_block_from_torch(blk):
+    p = {
+        "ln_1": _ln(blk.ln_1),
+        "attn": {
+            "in_proj": {"kernel": jnp.asarray(blk.attn.in_proj_weight.detach().numpy().T),
+                        "bias": jnp.asarray(blk.attn.in_proj_bias.detach().numpy())},
+            "out_proj": _lin(blk.attn.out_proj),
+        },
+        "ln_2": _ln(blk.ln_2),
+        "mlp": {"c_fc": _lin(blk.mlp.c_fc), "c_proj": _lin(blk.mlp.c_proj)},
+    }
+    if blk.attn.logit_scale is not None:
+        p["attn"]["logit_scale"] = jnp.asarray(blk.attn.logit_scale.detach().numpy())
+    if not isinstance(blk.ln_attn, torch.nn.Identity):
+        p["ln_attn"] = _ln(blk.ln_attn)
+    if not isinstance(blk.mlp.ln, torch.nn.Identity):
+        p["mlp"]["ln"] = _ln(blk.mlp.ln)
+    if not isinstance(blk.ls_1, torch.nn.Identity):
+        p["ls_1"] = {"gamma": jnp.asarray(blk.ls_1.gamma.detach().numpy())}
+        p["ls_2"] = {"gamma": jnp.asarray(blk.ls_2.gamma.detach().numpy())}
+    return p
+
+
+@pytest.mark.parametrize("flags", [
+    dict(),
+    dict(scale_cosine_attn=True, scale_attn=True, scale_fc=True),
+    dict(ls_init_value=0.5),
+])
+def test_custom_resblock_full(rng, flags):
+    torch.manual_seed(2)
+    ref = RefCustomBlock(W, HEADS, **flags).eval()
+    x = rng.standard_normal((2, 7, W)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x)).numpy()
+    got = custom_resblock_apply(jnp.asarray(x), _custom_block_from_torch(ref), HEADS)
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-3)
+
+
+def test_custom_transformer_tower(rng):
+    torch.manual_seed(3)
+    ref = RefCustomTransformer(width=W, layers=LAYERS, heads=HEADS).eval()
+    x = rng.standard_normal((2, 6, W)).astype(np.float32)
+    mask = np.triu(np.full((6, 6), -np.inf, np.float32), k=1)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x), attn_mask=torch.from_numpy(mask)).numpy()
+    params = {"resblocks": _stack([_custom_block_from_torch(b) for b in ref.resblocks])}
+    got = custom_transformer_forward(
+        params, jnp.asarray(x), HEADS, attn_mask=jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=5e-5, rtol=1e-3)
+
+
+def test_custom_transformer_init_smoke():
+    params = init_custom_transformer_params(
+        jax.random.key(0), W, LAYERS, HEADS,
+        scale_cosine_attn=True, scale_attn=True, scale_fc=True,
+    )
+    x = jax.random.normal(jax.random.key(1), (2, 5, W))
+    out = custom_transformer_forward(params, x, HEADS)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
+def test_multimodal_init_smoke():
+    params = init_multimodal_transformer_params(jax.random.key(0), W, LAYERS, output_dim=8)
+    img = jax.random.normal(jax.random.key(1), (2, 5, W))
+    txt = jax.random.normal(jax.random.key(2), (2, 7, W))
+    out = multimodal_transformer_forward(params, img, txt, HEADS, context_length=7)
+    assert out.shape == (2, 7, 8) and bool(jnp.isfinite(out).all())

@@ -145,6 +145,7 @@ def attention_apply(
     cfg: BlockConfig,
     ropes: Sequence[Rope],
     compute_dtype: Optional[jnp.dtype],
+    n_valids: Optional[Sequence[int]] = None,
 ) -> jax.Array:
     """qkv GEMM on the packed matrix, per-crop SDPA, packed out-proj —
     mirrors ``SelfAttention.forward_list`` (attention.py:98-108).
@@ -172,8 +173,10 @@ def attention_apply(
         )
         qkv_p = dict(qkv_p, bias=qkv_p["bias"] * mask)
     qkv_flat = linear(flat_normed, qkv_p, compute_dtype)
+    if n_valids is None:
+        n_valids = [n for _, n in shapes]
     outs = []
-    for (b, n), rope in zip(shapes, ropes):
+    for (b, n), rope, n_valid in zip(shapes, ropes, n_valids):
         off = sum(bb * nn for bb, nn in shapes[: len(outs)])
         qkv = jax.lax.slice_in_dim(qkv_flat, off, off + b * n, axis=0)
         d = cfg.dim
@@ -193,6 +196,7 @@ def attention_apply(
                     nh,
                     q_scale=p["q_norm"]["scale"] if cfg.use_qk_norm else None,
                     k_scale=p["k_norm"]["scale"] if cfg.use_qk_norm else None,
+                    n_valid=n_valid,
                 )
                 outs.append(o.reshape(b * n, cfg.dim))
                 continue
@@ -208,7 +212,7 @@ def attention_apply(
             q, k = apply_rope_bnhd(q, k, sin, cos)
         if compute_dtype is not None:
             q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
-        o = sdpa_bnhd(q, k, v)
+        o = sdpa_bnhd(q, k, v, n_valid=n_valid)
         outs.append(o.reshape(b * n, cfg.dim))
     out_flat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     return linear(out_flat, p["proj"], compute_dtype)
@@ -227,11 +231,15 @@ def apply_rope_bnhd(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array):
     return q, k
 
 
-def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """SDPA over (B, N, H, hd) without host-side transposes."""
+def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array,
+              n_valid: int = 0) -> jax.Array:
+    """SDPA over (B, N, H, hd) without host-side transposes.
+    ``n_valid`` masks trailing padded key columns (token alignment)."""
     import os
 
+    n = q.shape[1]
     if (jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16
+            and (not n_valid or n_valid == n)
             and not os.environ.get("VTP_DISABLE_FLASH")):
         from vtp_tpu.ops.flash_attention import flash_attention_bnhd, flash_supported_bnhd
 
@@ -239,6 +247,9 @@ def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
             return flash_attention_bnhd(q, k, v)
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    if n_valid and n_valid != n:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+        scores = jnp.where(col < n_valid, scores, -jnp.inf)
     probs = jax.nn.softmax(scores * scale, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32).astype(q.dtype)
 
@@ -269,6 +280,7 @@ def block_apply(
     training: bool = False,
     key: Optional[jax.Array] = None,
     drop_shards: int = 1,
+    n_valids: Optional[Sequence[int]] = None,
 ) -> Tuple[jax.Array, ...]:
     """Pre-norm block: ``x + ls1(attn(norm1 x)); x + ls2(ffn(norm2 x))``
     over a tuple of crop tensors (block.py:290-296)."""
@@ -276,11 +288,12 @@ def block_apply(
         return _block_apply_droppath(
             xs, p, cfg, ropes, compute_dtype=compute_dtype,
             drop_ratio=drop_ratio, key=key, drop_shards=drop_shards,
+            n_valids=n_valids,
         )
 
     flat, shapes = pack(xs)
     n1 = apply_norm(flat, p["norm1"], cfg.norm_kind, cfg.eps)
-    attn_out = _maybe_ls(attention_apply(n1, shapes, p["attn"], cfg, ropes, compute_dtype), p, "ls1")
+    attn_out = _maybe_ls(attention_apply(n1, shapes, p["attn"], cfg, ropes, compute_dtype, n_valids), p, "ls1")
     xs = tuple(x + r for x, r in zip(xs, unpack(attn_out, shapes)))
 
     flat2, _ = pack(xs)
@@ -309,7 +322,8 @@ def _residual_scatter(x: jax.Array, res: jax.Array, idx: jax.Array, scale: float
 
 
 def _block_apply_droppath(
-    xs, p, cfg, ropes, *, compute_dtype, drop_ratio, key, drop_shards
+    xs, p, cfg, ropes, *, compute_dtype, drop_ratio, key, drop_shards,
+    n_valids=None,
 ) -> Tuple[jax.Array, ...]:
     keys = jax.random.split(key, 2 * len(xs))
 
@@ -324,7 +338,7 @@ def _block_apply_droppath(
     sub_ropes = [_index_rope(r, ix) for r, ix in zip(ropes, idx1)]
     flat, shapes = pack(sub)
     n1 = apply_norm(flat, p["norm1"], cfg.norm_kind, cfg.eps)
-    attn_out = _maybe_ls(attention_apply(n1, shapes, p["attn"], cfg, sub_ropes, compute_dtype), p, "ls1")
+    attn_out = _maybe_ls(attention_apply(n1, shapes, p["attn"], cfg, sub_ropes, compute_dtype, n_valids), p, "ls1")
     xs = tuple(
         _residual_scatter(x, r, ix, s)
         for x, r, ix, s in zip(xs, unpack(attn_out, shapes), idx1, scales1)
@@ -373,6 +387,7 @@ def scan_blocks(
     drop_shards: int = 1,
     collect_last: int = 0,
     remat: bool = False,
+    n_valids: Optional[Sequence[int]] = None,
 ) -> Tuple[Tuple[jax.Array, ...], Optional[List[Tuple[jax.Array, ...]]]]:
     """Run ``depth`` stacked blocks under ``lax.scan``.
 
@@ -396,7 +411,7 @@ def scan_blocks(
             carry, params_i, cfg, ropes,
             compute_dtype=compute_dtype, drop_ratio=drop_ratio,
             training=training, key=key_i if use_drop else None,
-            drop_shards=drop_shards,
+            drop_shards=drop_shards, n_valids=n_valids,
         )
         return out, None
 

@@ -203,8 +203,196 @@ def multimodal_cross_block(
     k = (kv_in @ wk + bk).reshape(B, -1, num_heads, hd).transpose(0, 2, 1, 3)
     v = (kv_in @ wv + bv).reshape(B, -1, num_heads, hd).transpose(0, 2, 1, 3)
     o = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(B, L, W)
-    text = text + linear(o, p["attn"]["out_proj"], compute_dtype)
+    o = linear(o, p["attn"]["out_proj"], compute_dtype)
+    if "ls_1" in p:
+        o = o * p["ls_1"]["gamma"]
+    text = text + o
     h = layer_norm(text, p["ln_2"]["scale"], p["ln_2"]["bias"])
     h = linear(gelu_exact(linear(h, p["mlp"]["c_fc"], compute_dtype)),
                p["mlp"]["c_proj"], compute_dtype)
+    if "ls_2" in p:
+        h = h * p["ls_2"]["gamma"]
     return text + h
+
+
+def _resblock_init(key: jax.Array, width: int, mlp_width: int, layers: int,
+                   cross: bool = False) -> dict:
+    """OpenAI-scheme init for one ResidualAttentionBlock
+    (text_transformer.py:300-321 / :501-517)."""
+    kk = jax.random.split(key, 4)
+    proj_std = (width**-0.5) * ((2 * layers) ** -0.5)
+    attn_std = width**-0.5
+    fc_std = (2 * width) ** -0.5
+    ln = lambda w=width: {"scale": jnp.ones((w,), jnp.float32),
+                          "bias": jnp.zeros((w,), jnp.float32)}
+    p = {
+        "ln_1": ln(),
+        "attn": {
+            "in_proj": {"kernel": normal(kk[0], (width, 3 * width), attn_std),
+                        "bias": jnp.zeros((3 * width,), jnp.float32)},
+            "out_proj": {"kernel": normal(kk[1], (width, width), proj_std),
+                         "bias": jnp.zeros((width,), jnp.float32)},
+        },
+        "ln_2": ln(),
+        "mlp": {
+            "c_fc": {"kernel": normal(kk[2], (width, mlp_width), fc_std),
+                     "bias": jnp.zeros((mlp_width,), jnp.float32)},
+            "c_proj": {"kernel": normal(kk[3], (mlp_width, width), proj_std),
+                       "bias": jnp.zeros((width,), jnp.float32)},
+        },
+    }
+    if cross:
+        p["ln_1_kv"] = ln()
+    return p
+
+
+def init_multimodal_transformer_params(
+    key: jax.Array,
+    width: int,
+    layers: int,
+    *,
+    mlp_ratio: float = 4.0,
+    output_dim: int = 512,
+) -> dict:
+    """Full MultimodalTransformer (text_transformer.py:455-517):
+    per layer one self-attention resblock + one cross-attention
+    resblock, final LayerNorm, bare projection matrix. Params are
+    stacked along depth for lax.scan."""
+    mlp_width = int(width * mlp_ratio)
+    k = jax.random.split(key, 4)
+    res = jax.vmap(lambda kk: _resblock_init(kk, width, mlp_width, layers))(
+        jax.random.split(k[0], layers)
+    )
+    cross = jax.vmap(lambda kk: _resblock_init(kk, width, mlp_width, layers, cross=True))(
+        jax.random.split(k[1], layers)
+    )
+    return {
+        "resblocks": res,
+        "cross_attn": cross,
+        "ln_final": {"scale": jnp.ones((width,), jnp.float32),
+                     "bias": jnp.zeros((width,), jnp.float32)},
+        "text_projection": {"kernel": normal(k[2], (width, output_dim), width**-0.5),
+                            "bias": None},
+    }
+
+
+def multimodal_transformer_forward(
+    params: dict,
+    image_embs: jax.Array,   # (B, N_img, W)
+    text_embs: jax.Array,    # (B, L, W)
+    num_heads: int,
+    context_length: int = 77,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """MultimodalTransformer.forward (text_transformer.py:534-557):
+    per layer, causal self-attention over text then cross-attention into
+    the image embeddings; ln_final + projection applied to ALL tokens
+    (returns the full sequence, not a pooled vector)."""
+    from vtp_tpu.models.text_encoder import TextConfig, _text_block, causal_mask
+
+    L = text_embs.shape[1]
+    W = text_embs.shape[-1]
+    mask = causal_mask(context_length)[:L, :L]
+    tcfg = TextConfig(width=W, heads=num_heads)
+
+    def body(carry, p):
+        t = _text_block(carry, p["res"], tcfg, mask, compute_dtype)
+        t = multimodal_cross_block(t, image_embs, p["cross"], num_heads, compute_dtype)
+        return t, None
+
+    stacked = {"res": params["resblocks"], "cross": params["cross_attn"]}
+    x, _ = jax.lax.scan(body, text_embs, stacked)
+    x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"])
+    return linear(x, params["text_projection"], compute_dtype)
+
+
+# ---------------------------- CustomResidualAttentionBlock/-Transformer
+
+
+def init_custom_resblock_params(
+    key: jax.Array,
+    dim: int,
+    num_heads: int,
+    *,
+    mlp_ratio: float = 4.0,
+    ls_init_value: Optional[float] = None,
+    scale_cosine_attn: bool = False,
+    scale_heads: bool = False,
+    scale_attn: bool = False,
+    scale_fc: bool = False,
+) -> dict:
+    """CustomResidualAttentionBlock (block.py:430-476): scaled-cosine
+    Attention core with optional post-attention norm (scale_attn) and
+    mid-MLP norm (scale_fc)."""
+    k = jax.random.split(key, 3)
+    mlp_width = int(dim * mlp_ratio)
+    ln = lambda w: {"scale": jnp.ones((w,), jnp.float32),
+                    "bias": jnp.zeros((w,), jnp.float32)}
+    p = {
+        "ln_1": ln(dim),
+        "attn": init_custom_attention_params(
+            k[0], dim, num_heads,
+            scaled_cosine=scale_cosine_attn, scale_heads=scale_heads,
+        ),
+        "ln_2": ln(dim),
+        "mlp": {
+            "c_fc": linear_init(k[1], dim, mlp_width),
+            "c_proj": linear_init(k[2], mlp_width, dim),
+        },
+    }
+    if scale_attn:
+        p["ln_attn"] = ln(dim)
+    if scale_fc:
+        p["mlp"]["ln"] = ln(mlp_width)
+    if ls_init_value is not None:
+        p["ls_1"] = {"gamma": jnp.full((dim,), ls_init_value, jnp.float32)}
+        p["ls_2"] = {"gamma": jnp.full((dim,), ls_init_value, jnp.float32)}
+    return p
+
+
+def custom_resblock_apply(
+    x: jax.Array, p: dict, num_heads: int,
+    attn_mask: Optional[jax.Array] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """CustomResidualAttentionBlock.forward (block.py:473-476)."""
+    h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"])
+    o = custom_attention_apply(h, p["attn"], num_heads, attn_mask,
+                               compute_dtype=compute_dtype)
+    if "ln_attn" in p:
+        o = layer_norm(o, p["ln_attn"]["scale"], p["ln_attn"]["bias"])
+    if "ls_1" in p:
+        o = o * p["ls_1"]["gamma"]
+    x = x + o
+    h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"])
+    h = gelu_exact(linear(h, p["mlp"]["c_fc"], compute_dtype))
+    if "ln" in p["mlp"]:
+        h = layer_norm(h, p["mlp"]["ln"]["scale"], p["mlp"]["ln"]["bias"])
+    h = linear(h, p["mlp"]["c_proj"], compute_dtype)
+    if "ls_2" in p:
+        h = h * p["ls_2"]["gamma"]
+    return x + h
+
+
+def init_custom_transformer_params(
+    key: jax.Array, width: int, layers: int, num_heads: int, **block_kwargs
+) -> dict:
+    """CustomTransformer (text_transformer.py:111-153): a stack of
+    CustomResidualAttentionBlocks, depth-stacked for lax.scan."""
+    blocks = jax.vmap(
+        lambda kk: init_custom_resblock_params(kk, width, num_heads, **block_kwargs)
+    )(jax.random.split(key, layers))
+    return {"resblocks": blocks}
+
+
+def custom_transformer_forward(
+    params: dict, x: jax.Array, num_heads: int,
+    attn_mask: Optional[jax.Array] = None,
+    compute_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """CustomTransformer.forward (text_transformer.py:198-210)."""
+    def body(carry, p):
+        return custom_resblock_apply(carry, p, num_heads, attn_mask, compute_dtype), None
+
+    x, _ = jax.lax.scan(body, x, params["resblocks"])
+    return x

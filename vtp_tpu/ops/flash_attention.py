@@ -111,11 +111,13 @@ def _rope_one(x, cos_h, sin_h, d: int):
     return out.astype(x.dtype) if x.dtype == jnp.float32 else out.astype(jnp.bfloat16)
 
 
-def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int):
+def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int,
+                          n_valid: int = 0):
     """Pure-JAX composition matching the fused kernel's math — used as
     the differentiation rule (custom_vjp backward) since Mosaic's
     lane-roll has no VJP. Recomputes the forward; a dedicated backward
-    kernel is future work."""
+    kernel is future work. ``n_valid`` masks padded key columns (token
+    rows beyond the real sequence exist only for sublane alignment)."""
     B, N, three_d = qkv.shape
     D = three_d // 3
     H = num_heads
@@ -138,15 +140,19 @@ def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int):
         k = rope_apply(k.astype(rdt), s.astype(rdt), c.astype(rdt)).astype(qkv.dtype)
     scale = d**-0.5
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if n_valid and n_valid != N:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+        scores = jnp.where(col < n_valid, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
     return o.astype(qkv.dtype).reshape(B, N, D)
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_with_vjp(num_heads: int):
+def _fused_with_vjp(num_heads: int, n_valid: int):
     def fwd_only(qkv, sin, cos, q_scale, k_scale):
-        return _fused_kernel_call(qkv, sin, cos, num_heads, q_scale, k_scale)
+        return _fused_kernel_call(qkv, sin, cos, num_heads, q_scale, k_scale,
+                                  n_valid=n_valid)
 
     f = jax.custom_vjp(fwd_only)
 
@@ -155,7 +161,10 @@ def _fused_with_vjp(num_heads: int):
 
     def bwd(res, g):
         _, vjp = jax.vjp(
-            lambda *a: _fused_reference_impl(*a, num_heads=num_heads), *res
+            lambda *a: _fused_reference_impl(
+                *a, num_heads=num_heads, n_valid=n_valid
+            ),
+            *res,
         )
         return vjp(g)
 
@@ -168,9 +177,11 @@ def fused_qkv_rope_attention(
     sin, cos,
     num_heads: int,
     q_scale=None, k_scale=None,
+    n_valid: int = 0,
 ) -> jax.Array:
-    """Differentiable wrapper: Pallas kernel forward, pure-JAX VJP."""
-    return _fused_with_vjp(num_heads)(qkv, sin, cos, q_scale, k_scale)
+    """Differentiable wrapper: Pallas kernel forward, pure-JAX VJP.
+    ``n_valid`` (static) masks trailing padded key columns."""
+    return _fused_with_vjp(num_heads, int(n_valid))(qkv, sin, cos, q_scale, k_scale)
 
 
 def _fused_kernel_call(
@@ -178,6 +189,7 @@ def _fused_kernel_call(
     sin, cos,                # (N, d) full-length tables (prefix padded) or None
     num_heads: int,
     q_scale=None, k_scale=None,  # optional per-head-dim RMS-norm scales (d,)
+    n_valid: int = 0,        # mask key columns >= n_valid (0 = all valid)
 ) -> jax.Array:
     """Fused qkv-split + (optional qk-RMSNorm) + RoPE + flash attention.
 
@@ -281,6 +293,9 @@ def _fused_kernel_call(
                 preferred_element_type=jnp.float32,
                 precision=dot_precision,
             ) * scale
+            if n_valid and n_valid != N:
+                col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                scores = jnp.where(col < n_valid, scores, -jnp.inf)
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = jnp.exp(scores - m)
             probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
