@@ -260,3 +260,87 @@ def test_fused_attention_gradients(rng, monkeypatch):
     # primal outputs differ by bf16 rounding order (one- vs three-rounding
     # rope), so the cotangents differ proportionally — loose tolerance
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-2, rtol=5e-2)
+
+
+def test_fused_attention_backward_kernel(rng, monkeypatch):
+    """Dedicated Pallas backward kernel vs the einsum-composition VJP
+    oracle (interpret mode), with rope, key masking, and plain."""
+    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    from vtp_tpu.ops.flash_attention import (
+        _fused_bwd_kernel_call,
+        _fused_reference_impl,
+    )
+
+    B, N, H, d = 2, 16, 2, 32
+    for use_rope, n_valid in [(True, 0), (False, 0), (True, 13)]:
+        qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal((B, N, H * d)), jnp.bfloat16)
+        sin_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16) if use_rope else None
+        cos_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16) if use_rope else None
+
+        got = _fused_bwd_kernel_call(qkv, g, sin_t, cos_t, H, n_valid=n_valid)
+
+        def f(x):
+            out = _fused_reference_impl(x, sin_t, cos_t, None, None, H, n_valid=n_valid)
+            return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+        want = jax.grad(f)(qkv.astype(jnp.float32))
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            atol=5e-2, rtol=5e-2,
+            err_msg=f"use_rope={use_rope} n_valid={n_valid}",
+        )
+
+
+def test_fused_attention_backward_dispatch(rng, monkeypatch):
+    """fused_qkv_rope_attention's custom_vjp routes bf16 no-qk-norm
+    configs through the backward kernel and returns zero rope-table
+    cotangents (periods are a non-trained buffer in the reference)."""
+    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    from vtp_tpu.ops.flash_attention import fused_qkv_rope_attention
+
+    B, N, H, d = 1, 8, 2, 32
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.bfloat16)
+    sin_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+    cos_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+
+    def loss(x, s, c):
+        return jnp.sum(fused_qkv_rope_attention(x, s, c, H).astype(jnp.float32) ** 2)
+
+    gx, gs, gc = jax.grad(loss, argnums=(0, 1, 2))(qkv, sin_t, cos_t)
+    assert bool(jnp.isfinite(gx).all()) and float(jnp.abs(gx).max()) > 0
+    assert float(jnp.abs(gs).max()) == 0.0
+    assert float(jnp.abs(gc).max()) == 0.0
+
+
+def test_fused_attention_causal(rng, monkeypatch):
+    """In-kernel causal masking (text tower path) vs the reference
+    composition, forward and backward."""
+    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    from vtp_tpu.ops.flash_attention import (
+        _fused_bwd_kernel_call,
+        _fused_kernel_call,
+        _fused_reference_impl,
+    )
+
+    B, N, H, d = 2, 11, 2, 32
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.bfloat16)
+    got = _fused_kernel_call(qkv, None, None, H, is_causal=True)
+    want = _fused_reference_impl(qkv, None, None, None, None, H, is_causal=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+    g = jnp.asarray(rng.standard_normal((B, N, H * d)), jnp.bfloat16)
+    got_g = _fused_bwd_kernel_call(qkv, g, None, None, H, is_causal=True)
+
+    def f(x):
+        out = _fused_reference_impl(x, None, None, None, None, H, is_causal=True)
+        return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+    want_g = jax.grad(f)(qkv.astype(jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(got_g, np.float32), np.asarray(want_g, np.float32),
+        atol=5e-2, rtol=5e-2,
+    )

@@ -110,16 +110,36 @@ def init_text_params(key: jax.Array, cfg: TextConfig) -> dict:
 
 def _text_block(x: jax.Array, p: dict, cfg: TextConfig,
                 attn_mask: Optional[jax.Array],
-                compute_dtype: Optional[jnp.dtype]) -> jax.Array:
+                compute_dtype: Optional[jnp.dtype],
+                is_causal: bool = False) -> jax.Array:
+    """``is_causal`` routes the plain-causal case (no embed_cls pad
+    mask) through the fused Pallas kernel on TPU — the zero-shot
+    classifier build runs 12 of these over 80k texts
+    (test_zero_shot_hf.py:342-394)."""
+    import os
+
     B, L, W = x.shape
     nh, hd = cfg.heads, cfg.head_dim
     act = ACT["quick_gelu" if cfg.quick_gelu else "gelu"]
 
     h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"], cfg.ln_eps)
     qkv = linear(h, p["attn"]["in_proj"], compute_dtype)
-    qkv = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-    o = sdpa(qkv[0], qkv[1], qkv[2], bias=attn_mask)
-    o = o.transpose(0, 2, 1, 3).reshape(B, L, W)
+
+    o = None
+    if (is_causal and attn_mask is None
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("VTP_DISABLE_FLASH")):
+        from vtp_tpu.ops.flash_attention import (
+            fused_attention_supported,
+            fused_qkv_rope_attention,
+        )
+
+        if fused_attention_supported((B, L, 3 * W), qkv.dtype, nh):
+            o = fused_qkv_rope_attention(qkv, None, None, nh, is_causal=True)
+    if o is None:
+        qh = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        o = sdpa(qh[0], qh[1], qh[2], bias=attn_mask, is_causal=is_causal and attn_mask is None)
+        o = o.transpose(0, 2, 1, 3).reshape(B, L, W)
     o = linear(o, p["attn"]["out_proj"], compute_dtype)
     if "ls_1" in p:
         o = o * p["ls_1"]["gamma"]
@@ -158,24 +178,26 @@ def build_cls_mask(text: jax.Array, pad_id: int) -> jax.Array:
 
 def _text_embeds(
     params: dict, cfg: TextConfig, text: jax.Array
-) -> Tuple[jax.Array, Optional[jax.Array]]:
+) -> Tuple[jax.Array, Optional[jax.Array], bool]:
     """Token embeddings (+ optional appended cls token) and the
-    attention mask (text_transformer.py:349-361)."""
+    attention mask (text_transformer.py:349-361). Returns
+    ``(x, mask, is_causal)`` — the plain-causal case carries no
+    materialized mask so the block can use in-kernel causal masking."""
     B, L = text.shape
     x = params["token_embedding"][text]
-    seq = L
-    mask = None if cfg.no_causal_mask else causal_mask(cfg.num_pos)
     if cfg.embed_cls:
         seq = L + 1
         cls_tok = jnp.broadcast_to(params["cls_emb"][None, None, :], (B, 1, cfg.width))
         x = jnp.concatenate([x, cls_tok.astype(x.dtype)], axis=1)
-        cls_mask = build_cls_mask(text, cfg.pad_id)
-        if mask is not None:
-            mask = mask[None, None, :seq, :seq] + cls_mask[:, :, :seq, :seq]
-    elif mask is not None:
-        mask = mask[:seq, :seq]
-    x = x + params["positional_embedding"][:seq]
-    return x, mask
+        mask = None
+        if not cfg.no_causal_mask:
+            cls_mask = build_cls_mask(text, cfg.pad_id)
+            mask = (causal_mask(cfg.num_pos)[None, None, :seq, :seq]
+                    + cls_mask[:, :, :seq, :seq])
+        x = x + params["positional_embedding"][:seq]
+        return x, mask, False
+    x = x + params["positional_embedding"][:L]
+    return x, None, not cfg.no_causal_mask
 
 
 def text_global_pool(x: jax.Array, text: Optional[jax.Array], pool_type: str) -> jax.Array:
@@ -217,10 +239,10 @@ def text_forward_intermediates(
     (text_transformer.py:363-413). Returns {text_intermediates,
     text_features?, text_intermediates_suffix?}."""
     take, _ = feature_take_indices(cfg.layers, indices)
-    x, mask = _text_embeds(params, cfg, text)
+    x, mask, is_causal = _text_embeds(params, cfg, text)
 
     def body(carry, p):
-        out = _text_block(carry, p, cfg, mask, compute_dtype)
+        out = _text_block(carry, p, cfg, mask, compute_dtype, is_causal)
         return out, out
 
     x, ys = jax.lax.scan(body, x, params["blocks"])
@@ -319,10 +341,10 @@ def text_encode(
 
     Embedding lookups are not autocast ops in torch — the residual
     stream stays fp32; each linear casts to compute_dtype internally."""
-    x, mask = _text_embeds(params, cfg, text)
+    x, mask, is_causal = _text_embeds(params, cfg, text)
 
     def body(carry, p):
-        return _text_block(carry, p, cfg, mask, compute_dtype), None
+        return _text_block(carry, p, cfg, mask, compute_dtype, is_causal), None
 
     x, _ = jax.lax.scan(body, x, params["blocks"])
     pooled, tokens = _pool_project(params, cfg, x, text, compute_dtype, want_tokens=True)

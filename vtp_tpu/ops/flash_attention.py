@@ -112,7 +112,7 @@ def _rope_one(x, cos_h, sin_h, d: int):
 
 
 def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int,
-                          n_valid: int = 0):
+                          n_valid: int = 0, is_causal: bool = False):
     """Pure-JAX composition matching the fused kernel's math — used as
     the differentiation rule (custom_vjp backward) since Mosaic's
     lane-roll has no VJP. Recomputes the forward; a dedicated backward
@@ -143,16 +143,20 @@ def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int,
     if n_valid and n_valid != N:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
         scores = jnp.where(col < n_valid, scores, -jnp.inf)
+    if is_causal:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+        row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        scores = jnp.where(col <= row, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", probs, v, preferred_element_type=jnp.float32)
     return o.astype(qkv.dtype).reshape(B, N, D)
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_with_vjp(num_heads: int, n_valid: int):
+def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False):
     def fwd_only(qkv, sin, cos, q_scale, k_scale):
         return _fused_kernel_call(qkv, sin, cos, num_heads, q_scale, k_scale,
-                                  n_valid=n_valid)
+                                  n_valid=n_valid, is_causal=is_causal)
 
     f = jax.custom_vjp(fwd_only)
 
@@ -160,9 +164,20 @@ def _fused_with_vjp(num_heads: int, n_valid: int):
         return fwd_only(qkv, sin, cos, q_scale, k_scale), (qkv, sin, cos, q_scale, k_scale)
 
     def bwd(res, g):
+        qkv, sin, cos, q_scale, k_scale = res
+        if q_scale is None and qkv.dtype == jnp.bfloat16:
+            # dedicated Pallas backward kernel (no recompute round-trip
+            # through XLA's qkv-split/relayout dataflow). sin/cos get
+            # zero cotangents: RoPE periods are a non-trained buffer in
+            # the reference (embeddings.py:124-128) — the recompute VJP
+            # used to leak real gradients into them.
+            d_qkv = _fused_bwd_kernel_call(qkv, g, sin, cos, num_heads,
+                                           n_valid=n_valid, is_causal=is_causal)
+            zt = (lambda t: None if t is None else jnp.zeros_like(t))
+            return d_qkv, zt(sin), zt(cos), None, None
         _, vjp = jax.vjp(
             lambda *a: _fused_reference_impl(
-                *a, num_heads=num_heads, n_valid=n_valid
+                *a, num_heads=num_heads, n_valid=n_valid, is_causal=is_causal
             ),
             *res,
         )
@@ -178,10 +193,14 @@ def fused_qkv_rope_attention(
     num_heads: int,
     q_scale=None, k_scale=None,
     n_valid: int = 0,
+    is_causal: bool = False,
 ) -> jax.Array:
     """Differentiable wrapper: Pallas kernel forward, pure-JAX VJP.
-    ``n_valid`` (static) masks trailing padded key columns."""
-    return _fused_with_vjp(num_heads, int(n_valid))(qkv, sin, cos, q_scale, k_scale)
+    ``n_valid`` (static) masks trailing padded key columns; ``is_causal``
+    applies in-kernel causal masking (the text tower's mask,
+    text_transformer.py:334-338, without materializing it)."""
+    return _fused_with_vjp(num_heads, int(n_valid), bool(is_causal))(
+        qkv, sin, cos, q_scale, k_scale)
 
 
 def _fused_kernel_call(
@@ -190,6 +209,7 @@ def _fused_kernel_call(
     num_heads: int,
     q_scale=None, k_scale=None,  # optional per-head-dim RMS-norm scales (d,)
     n_valid: int = 0,        # mask key columns >= n_valid (0 = all valid)
+    is_causal: bool = False,
 ) -> jax.Array:
     """Fused qkv-split + (optional qk-RMSNorm) + RoPE + flash attention.
 
@@ -296,6 +316,10 @@ def _fused_kernel_call(
             if n_valid and n_valid != N:
                 col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
                 scores = jnp.where(col < n_valid, scores, -jnp.inf)
+            if is_causal:
+                col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+                row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+                scores = jnp.where(col <= row, scores, -jnp.inf)
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = jnp.exp(scores - m)
             probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
@@ -333,6 +357,177 @@ def _fused_kernel_call(
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * B * H * N * N * d,
             bytes_accessed=B * N * (three_d + D) * qkv.dtype.itemsize,
+            transcendentals=B * H * N * N,
+        ),
+        interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+    )(*inputs)
+
+
+def _fused_bwd_kernel_call(
+    qkv: jax.Array,          # (B, N, 3*H*d) saved forward input
+    g: jax.Array,            # (B, N, H*d) output cotangent
+    sin, cos,                # (N, d) tables or None
+    num_heads: int,
+    n_valid: int = 0,
+    is_causal: bool = False,
+) -> jax.Array:
+    """Dedicated flash-attention backward: one grid step per batch row
+    recomputes the roped q/k and the softmax from the saved qkv GEMM
+    output (VMEM-resident), then produces d(qkv) directly in the packed
+    (B, N, 3D) layout — the backward never materializes split q/k/v
+    tensors, mirroring the forward kernel's dataflow motivation
+    (relayout cost ~6x the attention math at VTP shapes).
+
+    Math per head (standard softmax-attention VJP):
+      p  = softmax(q kᵀ·s)        dv = pᵀ g
+      dp = g vᵀ                   ds = p ⊙ (dp − rowsum(dp ⊙ p)) · s
+      dq̃ = ds k                   dk̃ = dsᵀ q
+    then dq/dk = rope-adjoint(dq̃/dk̃): rope(x) = x·cos + roll(x)·sin′
+    has adjoint dx = dq̃·cos + roll(dq̃ ⊙ sin′) (the ±d/2 half-roll with
+    the lane-parity select is an involution, so the same roll structure
+    applies with the sin multiply moved before the roll).
+
+    bf16 only (training compute dtype); qk-norm configs use the
+    recompute VJP.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, three_d = qkv.shape
+    D = three_d // 3
+    H = num_heads
+    d = D // H
+    scale = d**-0.5
+    use_rope = sin is not None
+
+    if use_rope:
+        signs = jnp.concatenate([
+            -jnp.ones((d // 2,), jnp.float32), jnp.ones((d // 2,), jnp.float32)
+        ])
+        sin = (signs[None, :] * sin.astype(jnp.float32)).astype(jnp.bfloat16)
+        cos = cos.astype(jnp.bfloat16)
+        sin = jnp.tile(sin, (1, H))  # (N, D)
+        cos = jnp.tile(cos, (1, H))
+
+    def kernel(*refs):
+        if use_rope:
+            qkv_ref, g_ref, sin_ref, cos_ref, dqkv_ref = refs
+        else:
+            qkv_ref, g_ref, dqkv_ref = refs
+
+        def lane_roll_half(z):
+            """where(lane%d < d/2, roll(z, -d/2), roll(z, +d/2)) — the
+            half-roll + parity select shared by rope and its adjoint."""
+            up = pltpu.roll(z, d // 2, 1)
+            down = pltpu.roll(z, D - d // 2, 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, z.shape, 1)
+            return jnp.where(lane % d < d // 2, down, up)
+
+        def rope_slab(x):
+            xf = x.astype(jnp.bfloat16).astype(jnp.float32)
+            out = xf * cos_ref[:].astype(jnp.float32) \
+                + lane_roll_half(xf) * sin_ref[:].astype(jnp.float32)
+            return out.astype(jnp.bfloat16)
+
+        def unrope_slab(dx):
+            xf = dx.astype(jnp.float32)
+            out = xf * cos_ref[:].astype(jnp.float32) \
+                + lane_roll_half(xf * sin_ref[:].astype(jnp.float32))
+            return out.astype(dqkv_ref.dtype)
+
+        if use_rope:
+            q_slab = rope_slab(qkv_ref[0, :, :D])
+            k_slab = rope_slab(qkv_ref[0, :, D:2 * D])
+        else:
+            q_slab = qkv_ref[0, :, :D]
+            k_slab = qkv_ref[0, :, D:2 * D]
+
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(H):
+            sl = slice(h * d, (h + 1) * d)
+            q = q_slab[:, sl]
+            k = k_slab[:, sl]
+            v = qkv_ref[0, :, 2 * D + h * d:2 * D + (h + 1) * d]
+            gh = g_ref[0, :, sl]
+
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) * scale
+            if n_valid and n_valid != N:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < n_valid, s, -jnp.inf)
+            if is_causal:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                s = jnp.where(col <= row, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 (Nq, Nk)
+            p_lo = p.astype(v.dtype)
+
+            # dv = pᵀ g  (contract over query rows)
+            dv = jax.lax.dot_general(
+                p_lo, gh, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            # dp = g vᵀ
+            dp = jax.lax.dot_general(
+                gh, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+            ds = (p * (dp - delta) * scale).astype(q.dtype)  # (Nq, Nk)
+
+            dq = jax.lax.dot_general(
+                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            dk = jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+            dq_parts.append(dq.astype(jnp.bfloat16))
+            dk_parts.append(dk.astype(jnp.bfloat16))
+            dv_parts.append(dv.astype(dqkv_ref.dtype))
+
+        dq_slab = jnp.concatenate(dq_parts, axis=1)
+        dk_slab = jnp.concatenate(dk_parts, axis=1)
+        if use_rope:
+            dq_slab = unrope_slab(dq_slab)
+            dk_slab = unrope_slab(dk_slab)
+        dqkv_ref[0, :, :D] = dq_slab.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, D:2 * D] = dk_slab.astype(dqkv_ref.dtype)
+        dqkv_ref[0, :, 2 * D:] = jnp.concatenate(dv_parts, axis=1)
+
+    qkv_spec = pl.BlockSpec((1, N, three_d), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec((N, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
+
+    inputs = [qkv, g]
+    in_specs = [qkv_spec, g_spec]
+    if use_rope:
+        inputs += [sin, cos]
+        in_specs += [table_spec, table_spec]
+
+    import os
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, three_d), qkv.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * B * H * N * N * d,
+            bytes_accessed=B * N * (2 * three_d + D) * qkv.dtype.itemsize,
             transcendentals=B * H * N * N,
         ),
         interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
