@@ -46,3 +46,48 @@ def test_mixed_kinds(server, rng):
     f2 = server.submit_clip_text(tok)
     assert f1.result(timeout=120).shape == (2, 64)
     assert f2.result(timeout=120).shape == (2, 64)
+
+
+def test_mixed_kind_contention(rng):
+    """Under sustained mixed load every kind completes (no starvation),
+    per-kind FIFO order is preserved, and results match direct calls."""
+    model = VTPModel.init(jax.random.key(1), TINY, encode_dtype=None)
+    srv = VTPServer(model, batch_size=4, max_wait_ms=5, warmup=False)
+    try:
+        imgs = [rng.standard_normal((1, 3, 32, 32)).astype(np.float32) for _ in range(6)]
+        lats = [rng.standard_normal((1, 16, 2, 2)).astype(np.float32) for _ in range(6)]
+        futs = []
+        for i in range(6):  # interleave kinds
+            futs.append(("encode", i, srv.submit_encode(imgs[i])))
+            futs.append(("decode", i, srv.submit_decode(lats[i])))
+        for kind, i, f in futs:
+            out = f.result(timeout=120)
+            if kind == "encode":
+                want = np.asarray(model.get_reconstruction_latents(imgs[i]))
+            else:
+                want = np.asarray(model.get_latents_decoded_images(lats[i]))
+            np.testing.assert_allclose(out, want, atol=1e-5, err_msg=f"{kind} {i}")
+    finally:
+        srv.shutdown()
+
+
+def test_shutdown_fails_pending_futures(rng):
+    """shutdown() must fail queued-but-unprocessed futures instead of
+    leaving them pending forever; later submits fail immediately."""
+    model = VTPModel.init(jax.random.key(2), TINY, encode_dtype=None)
+    srv = VTPServer(model, batch_size=4, max_wait_ms=5, warmup=False)
+    # park the dispatcher, then inject a request directly into the
+    # queue so it is genuinely pending when shutdown() runs
+    srv._stop.set()
+    srv._thread.join(timeout=30)
+    from vtp_tpu.serve import _Request
+
+    req = _Request("encode", rng.standard_normal((1, 3, 32, 32)).astype(np.float32))
+    with srv._cv:
+        srv._queues["encode"].append(req)
+    srv.shutdown()
+    with pytest.raises(RuntimeError):
+        req.future.result(timeout=5)
+    fut2 = srv.submit_encode(rng.standard_normal((1, 3, 32, 32)).astype(np.float32))
+    with pytest.raises(RuntimeError):
+        fut2.result(timeout=5)

@@ -156,10 +156,22 @@ def evaluate_zero_shot(
     for images, targets in it:
         images = jnp.asarray(images)
         targets = jnp.asarray(targets)
-        if sharding is not None and images.shape[0] % sharding.mesh.shape["data"] == 0:
+        b = images.shape[0]
+        if sharding is not None:
+            # pad the tail batch up to the data axis instead of silently
+            # dropping the sharding; padded rows get target -1, which can
+            # never match a top-k prediction, so counts are unaffected
+            pad = (-b) % sharding.mesh.shape["data"]
+            if pad:
+                images = jnp.concatenate(
+                    [images, jnp.repeat(images[-1:], pad, axis=0)], axis=0
+                )
+                targets = jnp.concatenate(
+                    [targets, jnp.full((pad,), -1, targets.dtype)], axis=0
+                )
             images = jax.device_put(images, sharding)
         c1, c5 = step(params, classifier, images, targets)
         top1 += float(c1)
         top5 += float(c5)
-        n += images.shape[0]
+        n += b
     return top1 / n * 100.0, top5 / n * 100.0

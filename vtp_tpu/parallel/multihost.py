@@ -25,8 +25,16 @@ def initialize_multihost(
     platforms (coordinator 'host:port', world size, this host's index —
     the analogues of MASTER_ADDR / WORLD_SIZE / RANK in the reference's
     launchers)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    # Do NOT probe jax.process_count() here — any device/process query
+    # initializes the XLA backend, after which distributed.initialize
+    # refuses to run (this very function used to do that).
+    try:
+        from jax._src import distributed as _dist
+
+        if _dist.global_state.client is not None:
+            return  # already initialized
+    except ImportError:  # pragma: no cover - private API moved
+        pass
     kwargs = {}
     if coordinator_address:
         kwargs["coordinator_address"] = coordinator_address

@@ -14,8 +14,10 @@ Usage:
 
 from __future__ import annotations
 
-import queue
+import itertools
 import threading
+import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -26,14 +28,17 @@ import jax.numpy as jnp
 
 from vtp_tpu.models.vtp_model import VTPModel
 
+_seq = itertools.count()
+
 
 class _Request:
-    __slots__ = ("kind", "payload", "future")
+    __slots__ = ("kind", "payload", "future", "seq")
 
     def __init__(self, kind: str, payload: np.ndarray):
         self.kind = kind
         self.payload = payload
         self.future: Future = Future()
+        self.seq = next(_seq)
 
 
 class VTPServer:
@@ -49,7 +54,6 @@ class VTPServer:
         self.model = model
         self.batch_size = batch_size
         self.max_wait = max_wait_ms / 1000.0
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._fns: Dict[str, Callable] = {
             "encode": model.get_reconstruction_latents,
@@ -57,6 +61,12 @@ class VTPServer:
             "clip_image": model.get_clip_image_feature,
             "clip_text": model.get_clip_text_feature,
         }
+        # Per-kind FIFO queues; the dispatcher serves the kind whose
+        # head request is globally oldest, so under sustained mixed load
+        # no kind can starve and per-kind order is preserved (the old
+        # single-queue requeue-to-back scheme could do both).
+        self._queues: Dict[str, deque] = {k: deque() for k in self._fns}
+        self._cv = threading.Condition()
         if warmup:
             self._warmup()
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -68,7 +78,12 @@ class VTPServer:
         if kind not in self._fns:
             raise ValueError(f"unknown request kind {kind}")
         req = _Request(kind, np.asarray(payload))
-        self._queue.put(req)
+        with self._cv:
+            if self._stop.is_set():
+                req.future.set_exception(RuntimeError("VTPServer is shut down"))
+                return req.future
+            self._queues[kind].append(req)
+            self._cv.notify_all()
         return req.future
 
     def submit_encode(self, images) -> Future:
@@ -84,8 +99,20 @@ class VTPServer:
         return self.submit("clip_text", tokens)
 
     def shutdown(self) -> None:
+        """Stop the dispatcher and FAIL all still-queued futures — no
+        request is ever left permanently pending."""
         self._stop.set()
+        with self._cv:
+            self._cv.notify_all()
         self._thread.join(timeout=30)
+        with self._cv:
+            pending = [r for q in self._queues.values() for r in q]
+            for q in self._queues.values():
+                q.clear()
+        for r in pending:
+            r.future.set_exception(
+                RuntimeError("VTPServer shut down with request pending")
+            )
 
     # -------------------------------------------------------- internals
 
@@ -98,40 +125,37 @@ class VTPServer:
         np.asarray(self.model.get_reconstruction_latents(img))
         np.asarray(self.model.get_latents_decoded_images(lat))
 
-    def _collect_batch(self) -> List[_Request]:
-        """Pull requests of one kind until batch_size rows or max_wait."""
-        first = None
-        while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=0.1)
-                break
-            except queue.Empty:
-                continue
-        if first is None:
-            return []
-        batch = [first]
-        rows = first.payload.shape[0]
-        deadline = self.max_wait
-        import time
+    def _oldest_kind(self) -> Optional[str]:
+        heads = [(q[0].seq, k) for k, q in self._queues.items() if q]
+        return min(heads)[1] if heads else None
 
-        t0 = time.monotonic()
-        backlog: List[_Request] = []
-        while rows < self.batch_size:
-            remaining = deadline - (time.monotonic() - t0)
-            if remaining <= 0:
-                break
-            try:
-                req = self._queue.get(timeout=remaining)
-            except queue.Empty:
-                break
-            if req.kind != first.kind:
-                backlog.append(req)  # different op: next dispatch round
-                continue
-            batch.append(req)
-            rows += req.payload.shape[0]
-        for req in backlog:
-            self._queue.put(req)
-        return batch
+    def _collect_batch(self) -> List[_Request]:
+        """Serve the kind whose head request is globally oldest; keep
+        pulling same-kind requests until batch_size rows or max_wait."""
+        with self._cv:
+            while not self._stop.is_set():
+                kind = self._oldest_kind()
+                if kind is not None:
+                    break
+                self._cv.wait(timeout=0.1)
+            else:
+                return []
+            batch: List[_Request] = []
+            rows = 0
+            deadline = time.monotonic() + self.max_wait
+            while not self._stop.is_set():
+                q = self._queues[kind]
+                while q and rows < self.batch_size:
+                    req = q.popleft()
+                    batch.append(req)
+                    rows += req.payload.shape[0]
+                if rows >= self.batch_size:
+                    break
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+            return batch
 
     def _loop(self) -> None:
         while not self._stop.is_set():
