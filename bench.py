@@ -118,6 +118,43 @@ def bench_train() -> None:
     }))
 
 
+def bench_dit() -> None:
+    """BENCH_MODE=dit: DiT-XL/1 training-step throughput on f16d64
+    latents (the reference's generation recipe,
+    generation/configs/train_vtp_l_dit_xl.yaml). Batch 32/chip: the
+    675M-param fp32 train state (params+ema+adam m,v) is ~10 GB, and
+    batch-64 activations push past the 16 GB v5e HBM."""
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+
+    from vtp_tpu.dit.model import make_dit_config
+    from vtp_tpu.dit.train import DiTTrainConfig, build_dit_train_step, init_dit_state
+
+    cfg = make_dit_config("DiT-XL/1")
+    tcfg = DiTTrainConfig()
+    state = init_dit_state(jax.random.key(0), cfg, tcfg)
+    step = jax.jit(build_dit_train_step(cfg, tcfg), donate_argnums=(0,))
+    lat = jax.random.normal(jax.random.key(1), (batch, cfg.in_channels,
+                                                cfg.input_size, cfg.input_size))
+    lab = jax.random.randint(jax.random.key(2), (batch,), 0, cfg.num_classes)
+
+    t0 = time.perf_counter()
+    state, metrics = step(state, lat, lab, jax.random.key(3))
+    _ = float(metrics["loss/transport"])
+    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = step(state, lat, lab, jax.random.key(4 + i))
+    _ = float(metrics["loss/transport"])
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": "DiT-XL/1 f16d64 train-step throughput (bf16, adaLN-zero, flow transport)",
+        "value": round(batch / dt, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
 def main() -> None:
     preset = os.environ.get("BENCH_PRESET", "vtp-large")
     # batch 32 measured fastest for the roundtrip on v5e (133.9 img/s vs
@@ -127,6 +164,8 @@ def main() -> None:
     mode = os.environ.get("BENCH_MODE", "roundtrip")
     if mode == "train":
         return bench_train()
+    if mode == "dit":
+        return bench_dit()
 
     cfg = PRESETS[preset]()
     print(f"[bench] preset={preset} batch={batch} iters={iters} mode={mode} "

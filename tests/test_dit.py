@@ -80,3 +80,52 @@ def test_euler_sampler_runs():
     out_cfg = euler_sample(model_fn, jax.random.key(3), (2, 8, 4, 4), y,
                            num_steps=4, cfg_scale=2.0, null_label=TINY.null_label)
     assert bool(jnp.isfinite(out_cfg).all())
+
+
+def test_overfit_single_latent_to_near_zero_loss():
+    """Training validation (DiT trainer end-to-end): on a single fixed
+    latent the velocity target is deterministic given (x_t, t), so the
+    transport loss must collapse toward zero."""
+    cfg = TINY
+    tcfg = DiTTrainConfig(
+        learning_rate=2e-3, compute_dtype=None, remat=False,
+        class_dropout_prob=0.0, ema_decay=0.99, use_lognorm=False,
+    )
+    state = init_dit_state(jax.random.key(0), cfg, tcfg)
+    step = jax.jit(build_dit_train_step(cfg, tcfg))
+    latent = jax.random.normal(jax.random.key(1), (1, 8, 4, 4))
+    latents = jnp.tile(latent, (16, 1, 1, 1))
+    labels = jnp.zeros((16,), jnp.int32)
+
+    first = None
+    for i in range(400):
+        state, metrics = step(state, latents, labels, jax.random.key(10 + i))
+        if first is None:
+            first = float(metrics["loss/transport"])
+    last = float(metrics["loss/transport"])
+    assert np.isfinite(last)
+    assert last < 0.05 * first, (first, last)
+    assert last < 0.15, last
+
+
+def test_euler_sampler_statistics_against_gaussian_oracle():
+    """Sampler validation: integrate the CLOSED-FORM conditional
+    velocity of Gaussian data N(m, s^2) through euler_sample (incl. the
+    timestep_shift grid) — the terminal samples must reproduce the data
+    statistics, the invariant the latents_stats normalization relies on."""
+    m, s = 1.5, 0.7
+
+    def oracle(x, t, y):
+        t = t[:, None, None, None]
+        var = t**2 * s**2 + (1.0 - t) ** 2
+        cov = t * s**2 - (1.0 - t)
+        return m + cov / var * (x - t * m)
+
+    out = euler_sample(
+        oracle, jax.random.key(0), (512, 8, 2, 2), jnp.zeros((512,), jnp.int32),
+        num_steps=200, timestep_shift=0.075,
+    )
+    got_m = float(jnp.mean(out))
+    got_s = float(jnp.std(out))
+    assert abs(got_m - m) < 0.05, got_m
+    assert abs(got_s - s) < 0.05, got_s
