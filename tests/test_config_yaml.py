@@ -81,3 +81,21 @@ def test_from_vtp_yaml_matches_reference_converter(tmp_path):
                   "text_pool_type", "decoder_embed_dim", "decoder_depth",
                   "decoder_norm_layer", "decoder_ffn_layer"):
         assert getattr(ours, field) == getattr(ref_cfg, field), field
+
+
+def test_from_vtp_yaml_cli_overrides(tmp_path):
+    """CLI dotlist overrides merge on top of the file before conversion
+    (reference _load_vtp_config, vtp.py:119-152)."""
+    from vtp_tpu.config import VTPConfig
+
+    path = tmp_path / "vtp_l.yaml"
+    path.write_text(YAML)
+    base = VTPConfig.from_vtp_yaml(str(path))
+    over = VTPConfig.from_vtp_yaml(str(path), overrides=[
+        "vtp_model.vision_encoder.depth=5",
+        "data.image_size=512",
+        "vtp_model.text_encoder.output_tokens=true",
+    ])
+    assert base.vision_depth == 24 and over.vision_depth == 5
+    assert over.image_size == 512
+    assert over.text_output_tokens is True

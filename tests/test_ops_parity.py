@@ -344,3 +344,19 @@ def test_fused_attention_causal(rng, monkeypatch):
         np.asarray(got_g, np.float32), np.asarray(want_g, np.float32),
         atol=5e-2, rtol=5e-2,
     )
+
+
+def test_fused_attention_fp32_precision_modes(rng, monkeypatch):
+    """fp32 kernel: 'high' (manual 3-pass bf16x3 split) must track the
+    exact 6-pass 'float32' mode to within the bf16x3 error bound."""
+    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    from vtp_tpu.ops.flash_attention import _fused_kernel_call, _fused_reference_impl
+
+    B, N, H, d = 2, 16, 2, 32
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.float32)
+    want = _fused_reference_impl(qkv, None, None, None, None, H)
+    got6 = _fused_kernel_call(qkv, None, None, H, fp32_precision="float32")
+    got3 = _fused_kernel_call(qkv, None, None, H, fp32_precision="high")
+    np.testing.assert_allclose(np.asarray(got6), np.asarray(want), atol=1e-5)
+    # 3-pass vs 6-pass: bf16x3 residual only (<< any bf16 path noise)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(got6), atol=1e-4)

@@ -130,15 +130,27 @@ class VTPConfig:
             return cls.from_dict(json.load(f))
 
     @classmethod
-    def from_vtp_yaml(cls, yaml_path: str) -> "VTPConfig":
+    def from_vtp_yaml(cls, yaml_path: str, overrides=None) -> "VTPConfig":
         """Import a legacy VTP training YAML (the OmegaConf structure the
         reference converts in configuration_vtp.py:168-233:
         ``vtp_model.{vision_encoder,text_encoder,pixel_decoder}`` +
-        ``training`` + ``data.image_size``)."""
+        ``training`` + ``data.image_size``).
+
+        ``overrides``: OmegaConf-style CLI dotlist entries, e.g.
+        ``["vtp_model.vision_encoder.depth=24", "data.image_size=512"]``
+        (the reference's ``_load_vtp_config`` merge, vtp.py:119-152),
+        applied on top of the file before conversion."""
         import yaml
 
         with open(yaml_path) as f:
             cfg = yaml.safe_load(f)
+        for entry in overrides or []:
+            dotted, _, raw = entry.partition("=")
+            node = cfg
+            keys = dotted.strip().split(".")
+            for k in keys[:-1]:
+                node = node.setdefault(k, {})
+            node[keys[-1]] = yaml.safe_load(raw)
         vis = cfg["vtp_model"]["vision_encoder"]
         txt = cfg["vtp_model"]["text_encoder"]
         dec = cfg["vtp_model"]["pixel_decoder"]

@@ -189,6 +189,10 @@ def attention_apply(
             )
 
             if fused_attention_supported((b, n, 3 * d), qkv.dtype, nh):
+                # fp32 (decode parity mode): follow the ambient matmul
+                # precision so in-kernel dots match the XLA GEMMs
+                # ('float32' -> 6-pass exact, 'high' -> 3-pass bf16x3)
+                amb = jax.config.jax_default_matmul_precision or "float32"
                 o = fused_qkv_rope_attention(
                     qkv.reshape(b, n, 3 * d),
                     rope[0] if rope is not None else None,
@@ -197,6 +201,7 @@ def attention_apply(
                     q_scale=p["q_norm"]["scale"] if cfg.use_qk_norm else None,
                     k_scale=p["k_norm"]["scale"] if cfg.use_qk_norm else None,
                     n_valid=n_valid,
+                    fp32_precision=amb,
                 )
                 outs.append(o.reshape(b * n, cfg.dim))
                 continue

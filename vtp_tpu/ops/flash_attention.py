@@ -153,10 +153,12 @@ def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False):
+def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False,
+                    fp32_precision: str = "float32"):
     def fwd_only(qkv, sin, cos, q_scale, k_scale):
         return _fused_kernel_call(qkv, sin, cos, num_heads, q_scale, k_scale,
-                                  n_valid=n_valid, is_causal=is_causal)
+                                  n_valid=n_valid, is_causal=is_causal,
+                                  fp32_precision=fp32_precision)
 
     f = jax.custom_vjp(fwd_only)
 
@@ -194,12 +196,16 @@ def fused_qkv_rope_attention(
     q_scale=None, k_scale=None,
     n_valid: int = 0,
     is_causal: bool = False,
+    fp32_precision: str = "float32",
 ) -> jax.Array:
     """Differentiable wrapper: Pallas kernel forward, pure-JAX VJP.
     ``n_valid`` (static) masks trailing padded key columns; ``is_causal``
     applies in-kernel causal masking (the text tower's mask,
-    text_transformer.py:334-338, without materializing it)."""
-    return _fused_with_vjp(num_heads, int(n_valid), bool(is_causal))(
+    text_transformer.py:334-338, without materializing it);
+    ``fp32_precision`` selects the fp32 dot mode ('float32' = 6-pass
+    exact, 'high' = 3-pass) to match the ambient XLA matmul precision."""
+    return _fused_with_vjp(num_heads, int(n_valid), bool(is_causal),
+                           str(fp32_precision))(
         qkv, sin, cos, q_scale, k_scale)
 
 
@@ -210,6 +216,7 @@ def _fused_kernel_call(
     q_scale=None, k_scale=None,  # optional per-head-dim RMS-norm scales (d,)
     n_valid: int = 0,        # mask key columns >= n_valid (0 = all valid)
     is_causal: bool = False,
+    fp32_precision: str = "float32",  # fp32 dot mode: float32 | high
 ) -> jax.Array:
     """Fused qkv-split + (optional qk-RMSNorm) + RoPE + flash attention.
 
@@ -234,12 +241,17 @@ def _fused_kernel_call(
     scale = d**-0.5
     use_rope = sin is not None
     use_qk_norm = q_scale is not None
-    # bf16 operands ride the MXU directly; fp32 (decoder parity mode)
-    # uses 6-pass fp32-accurate dots
-    dot_precision = (
-        jax.lax.Precision.DEFAULT if qkv.dtype == jnp.bfloat16
-        else jax.lax.Precision.HIGHEST
-    )
+    # bf16 operands ride the MXU directly; fp32 follows the ambient
+    # matmul precision like the XLA GEMMs around it: 'float32' -> 6-pass
+    # HIGHEST, 'high'/'tensorfloat32' -> manual 3-pass bf16x3 split
+    # (hi/lo decomposition dropping the lo*lo term — exactly XLA's
+    # 'high'), since Mosaic only lowers DEFAULT/HIGHEST natively.
+    if qkv.dtype == jnp.bfloat16:
+        dot_mode = "default"
+    elif fp32_precision in ("high", "tensorfloat32"):
+        dot_mode = "bf16_3x"
+    else:
+        dot_mode = "highest"
 
     if use_rope:
         # rotate-half as lane rolls + sign: rot(x) = roll(x, +-d/2) * signs;
@@ -269,6 +281,25 @@ def _fused_kernel_call(
             xf = x.astype(jnp.float32)
             n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-5)
             return (n.astype(x.dtype) * w).astype(x.dtype)
+
+        def mxu_dot(a, b, dims):
+            if dot_mode == "bf16_3x":
+                a_hi = a.astype(jnp.bfloat16)
+                a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                b_hi = b.astype(jnp.bfloat16)
+                b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                dd = lambda x, y: jax.lax.dot_general(
+                    x, y, dimension_numbers=(dims, ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                return dd(a_hi, b_hi) + dd(a_hi, b_lo) + dd(a_lo, b_hi)
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(dims, ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=(jax.lax.Precision.DEFAULT if dot_mode == "default"
+                           else jax.lax.Precision.HIGHEST),
+            )
 
         def rope_slab(x):
             # The reference rotates in the rope dtype (bf16) regardless of
@@ -308,11 +339,7 @@ def _fused_kernel_call(
                     q = _rope_one(q, cos_ref[:, sl_h], sin_ref[:, sl_h], d)
                     k = _rope_one(k, cos_ref[:, sl_h], sin_ref[:, sl_h], d)
             v = qkv_ref[0, :, 2 * D + h * d:2 * D + (h + 1) * d]
-            scores = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision,
-            ) * scale
+            scores = mxu_dot(q, k, ((1,), (1,))) * scale
             if n_valid and n_valid != N:
                 col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
                 scores = jnp.where(col < n_valid, scores, -jnp.inf)
@@ -323,11 +350,7 @@ def _fused_kernel_call(
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = jnp.exp(scores - m)
             probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-            out = jax.lax.dot_general(
-                probs, v, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=dot_precision,
-            )
+            out = mxu_dot(probs, v, ((1,), (0,)))
             o_ref[0, :, h * d:(h + 1) * d] = out.astype(o_ref.dtype)
 
     qkv_spec = pl.BlockSpec((1, N, three_d), lambda b: (b, 0, 0),
