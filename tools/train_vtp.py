@@ -1,0 +1,294 @@
+#!/usr/bin/env python3
+"""VTP pre-training loop: CLIP + DINO/iBOT SSL + reconstruction.
+
+The reference releases the training meta-architecture
+(``vtp/models/vtp.py``) but not the loop that drives it (SURVEY.md
+section 1: "The actual pre-training loop is not in the repo"). This
+tool completes the framework: config -> multi-crop data pipeline
+(``vtp_tpu.data.ssl_crops``) -> the jitted combined train step
+(``vtp_tpu.train.step``) -> orbax checkpoints, running SPMD over the
+device mesh (batch sharded on the ``data`` axis, params replicated).
+
+CLIP captions come from ImageFolder class names ("a photo of a {c}")
+tokenized once per class — the standard proxy when a folder dataset has
+no paired text; swap in a captioned dataset for production runs.
+
+Usage:
+    python tools/train_vtp.py --preset vtp-base --data_dir /data/train \
+        --batch_size 256 --steps 100000 --out ./vtp_ckpt
+    python tools/train_vtp.py --synthetic --steps 20     # smoke/throughput
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="vtp-base",
+                   help="vtp-small / vtp-base / vtp-large")
+    p.add_argument("--config", default=None,
+                   help="HF config.json or legacy VTP YAML (overrides --preset)")
+    p.add_argument("--data_dir", default=None, help="ImageFolder root")
+    p.add_argument("--synthetic", action="store_true",
+                   help="random data (smoke tests / throughput runs)")
+    p.add_argument("--objectives", default="clip,ssl,rec")
+    p.add_argument("--batch_size", type=int, default=256, help="global batch")
+    p.add_argument("--steps", type=int, default=100_000)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=0.04)
+    p.add_argument("--warmup_steps", type=int, default=1000)
+    p.add_argument("--teacher_momentum", type=float, default=0.994)
+    p.add_argument("--local_crops", type=int, default=4)
+    p.add_argument("--local_size", type=int, default=96)
+    p.add_argument("--mask_ratio", type=float, default=0.3)
+    p.add_argument("--compute_dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--mesh", default=None,
+                   help="DATA,MODEL mesh shape (default: all devices on data)")
+    p.add_argument("--out", default="./vtp_ckpt")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--ckpt_every", type=int, default=2000)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--export_hf", action="store_true",
+                   help="also write an HF-style model dir at the end")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def _load_config(args):
+    from vtp_tpu.config import PRESETS, VTPConfig
+
+    if args.config:
+        if args.config.endswith((".yaml", ".yml")):
+            return VTPConfig.from_vtp_yaml(args.config)
+        return VTPConfig.from_hf_json(args.config)
+    return PRESETS[args.preset]()
+
+
+def _class_captions(classes, context_length, vocab_size):
+    """Tokenize 'a photo of a {c}' once per class; degrades to
+    deterministic pseudo-tokens when the BPE vocab asset is absent."""
+    import numpy as np
+
+    try:
+        from vtp_tpu.tokenizers import get_tokenizer
+
+        tok = get_tokenizer(context_length=context_length)
+        texts = [f"a photo of a {c.replace('_', ' ')}" for c in classes]
+        toks = np.asarray(tok(texts))
+        if toks.max() >= vocab_size:
+            raise ValueError(
+                f"BPE ids exceed text_vocab_size={vocab_size} (debug config?)"
+            )
+        return toks
+    except Exception as e:  # vocab asset missing (zero-egress installs)
+        print(f"[train_vtp] BPE vocab unavailable ({e}); using pseudo-captions")
+        rng = np.random.default_rng(0)
+        toks = rng.integers(1, max(vocab_size - 1, 2),
+                            size=(len(classes), context_length))
+        return toks.astype(np.int64)
+
+
+def synthetic_batches(args, cfg, n_patches):
+    import numpy as np
+
+    from vtp_tpu.data.ssl_crops import make_mask_bookkeeping
+
+    rng = np.random.default_rng(args.seed)
+    b = args.batch_size
+    S, L = cfg.image_size, args.local_size
+    while True:
+        ssl = make_mask_bookkeeping(rng, 2 * b, n_patches, args.mask_ratio)
+        ssl["global_crops"] = rng.standard_normal((2 * b, 3, S, S), np.float32)
+        ssl["local_crops"] = rng.standard_normal(
+            (args.local_crops * b, 3, L, L), np.float32)
+        yield {
+            "image": ssl["global_crops"][:b],
+            "text": rng.integers(1, cfg.text_vocab_size - 1,
+                                 (b, cfg.text_context_length)),
+            "rec_image": ssl["global_crops"][:b],
+            "ssl": ssl,
+        }
+
+
+def folder_batches(args, cfg, n_patches):
+    import numpy as np
+
+    from vtp_tpu.data import DataLoader, ImageFolder, InfiniteSampler
+    from vtp_tpu.data.ssl_crops import (
+        MultiCropDataset,
+        MultiCropTransform,
+        collate_multicrop,
+        make_mask_bookkeeping,
+    )
+
+    folder = ImageFolder(args.data_dir)
+    captions = _class_captions(folder.classes, cfg.text_context_length,
+                               cfg.text_vocab_size)
+    transform = MultiCropTransform(
+        global_size=cfg.image_size,
+        local_size=args.local_size,
+        n_local=args.local_crops,
+    )
+    ds = MultiCropDataset(folder, transform, seed=args.seed)
+    loader = DataLoader(
+        ds, args.batch_size,
+        sampler=InfiniteSampler(len(ds), seed=args.seed),
+        num_workers=args.num_workers, drop_last=True,
+        collate=collate_multicrop,
+    )
+    rng = np.random.default_rng(args.seed + 1)
+    for global_crops, local_crops, labels in loader:
+        b = labels.shape[0]
+        ssl = make_mask_bookkeeping(rng, 2 * b, n_patches, args.mask_ratio)
+        ssl["global_crops"] = global_crops
+        ssl["local_crops"] = local_crops
+        yield {
+            "image": global_crops[:b],
+            "text": captions[labels],
+            "rec_image": global_crops[:b],
+            "ssl": ssl,
+        }
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    if not args.synthetic and not args.data_dir:
+        raise SystemExit("pass --data_dir or --synthetic")
+
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vtp_tpu.checkpoint import (
+        latest_train_state_step,
+        restore_train_state,
+        save_pretrained,
+        save_train_state,
+    )
+    from vtp_tpu.parallel import make_mesh
+    from vtp_tpu.train.step import TrainConfig, build_train_step, init_state
+
+    cfg = _load_config(args)
+    objectives = set(args.objectives.split(","))
+    n_devices = jax.device_count()
+    if args.mesh:
+        n_data, n_model = (int(x) for x in args.mesh.split(","))
+    else:
+        n_data, n_model = n_devices, 1
+    if args.batch_size % max(n_data, 1):
+        raise SystemExit(f"global batch {args.batch_size} must divide by "
+                         f"the data axis ({n_data})")
+    tcfg = TrainConfig(
+        train_clip="clip" in objectives,
+        train_ssl="ssl" in objectives,
+        train_reconstruction="rec" in objectives,
+        learning_rate=args.lr,
+        weight_decay=args.weight_decay,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.steps,
+        teacher_momentum=args.teacher_momentum,
+        compute_dtype=None if args.compute_dtype == "fp32" else "bf16",
+        remat=not args.no_remat,
+        drop_shards=n_data,
+    )
+
+    state = init_state(jax.random.key(args.seed), cfg, tcfg)
+    start_step = 0
+    if args.resume and latest_train_state_step(args.out) is not None:
+        state = restore_train_state(args.out, state)
+        start_step = int(state["step"])
+        print(f"[train_vtp] resumed from step {start_step}")
+
+    mesh = make_mesh(n_data, n_model) if n_devices > 1 else None
+    if mesh is not None:
+        from vtp_tpu.parallel import shard_params
+
+        if n_model > 1:  # Megatron column/row rules on the model axis
+            state["params"] = shard_params(state["params"], mesh)
+            if "teacher" in state:
+                state["teacher"] = shard_params(state["teacher"], mesh)
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, P()))
+
+        def shard(batch):
+            def put(x):
+                x = np.asarray(x)
+                spec = P("data", *([None] * (x.ndim - 1)))
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            out = {k: put(v) for k, v in batch.items() if k != "ssl"}
+            if "ssl" in batch:
+                ssl = batch["ssl"]
+                out["ssl"] = {
+                    "global_crops": put(ssl["global_crops"]),
+                    "local_crops": put(ssl["local_crops"]),
+                    "masks": put(ssl["masks"]),
+                    # flat-index bookkeeping addresses the global token
+                    # table -> replicate
+                    "mask_indices": jax.device_put(
+                        ssl["mask_indices"], NamedSharding(mesh, P())),
+                    "mask_weight": jax.device_put(
+                        ssl["mask_weight"], NamedSharding(mesh, P())),
+                }
+            return out
+    else:
+        def shard(batch):
+            return jax.tree_util.tree_map(np.asarray, batch)
+
+    step_fn = jax.jit(build_train_step(cfg, tcfg), donate_argnums=(0,))
+    n_patches = (cfg.image_size // cfg.vision_patch_size) ** 2
+    batches = (synthetic_batches if args.synthetic else folder_batches)(
+        args, cfg, n_patches)
+    key = jax.random.key(args.seed + 2)
+
+    os.makedirs(args.out, exist_ok=True)
+    t0 = time.time()
+    imgs = 0
+    for step in range(start_step, args.steps):
+        batch = shard(next(batches))
+        if not tcfg.train_clip:
+            batch.pop("image", None)
+            batch.pop("text", None)
+        if not tcfg.train_reconstruction:
+            batch.pop("rec_image", None)
+        if not tcfg.train_ssl:
+            batch.pop("ssl", None)
+        key, sub = jax.random.split(key)
+        if mesh is not None:
+            with jax.set_mesh(mesh):
+                state, metrics = step_fn(state, batch, sub)
+        else:
+            state, metrics = step_fn(state, batch, sub)
+        imgs += args.batch_size
+        if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            losses = " ".join(f"{k.split('/')[-1]}={v:.4f}" for k, v in m.items())
+            print(f"[train_vtp] step {step + 1}/{args.steps} "
+                  f"{imgs / dt:.1f} img/s {losses}", flush=True)
+            if not all(np.isfinite(v) for v in m.values()):
+                raise SystemExit(f"non-finite loss at step {step + 1}: {m}")
+            t0, imgs = time.time(), 0
+        if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
+            save_train_state(args.out, jax.device_get(state), step=step + 1)
+            print(f"[train_vtp] checkpoint @ step {step + 1} -> {args.out}")
+
+    if args.export_hf:
+        export_dir = os.path.join(args.out, "hf_export")
+        params = {k: v for k, v in jax.device_get(state["params"]).items()
+                  if k != "dino_head"}
+        save_pretrained(export_dir, cfg, params)
+        print(f"[train_vtp] HF-style export -> {export_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -136,3 +136,39 @@ def _pixel_decoder_forward(
     x = linear(x, params["proj_out"], compute_dtype)  # (B, HW, 3*u^2)
     x = x.transpose(0, 2, 1).reshape(B, -1, H, W)
     return pixel_shuffle(x, cfg.upscale_factor)
+
+
+# ---------------------------------------------------------------- factories
+# Size factories mirroring the reference's dinov3_pixel_decoder_*
+# constructors (pixel_decoder.py:166-214); same in_chans/upscale
+# defaults. VTP tokenizers override to in_chans=64, upscale_factor=16.
+
+def pixel_decoder_small(in_chans: int = 256, out_chans: int = 3,
+                        upscale_factor: int = 4, **kw) -> PixelDecoderConfig:
+    """pixel_decoder.py:166-180."""
+    return PixelDecoderConfig(in_chans=in_chans, out_chans=out_chans,
+                              upscale_factor=upscale_factor,
+                              embed_dim=384, depth=12, num_heads=6, ffn_ratio=4.0, **kw)
+
+
+def pixel_decoder_base(in_chans: int = 256, out_chans: int = 3,
+                       upscale_factor: int = 4, **kw) -> PixelDecoderConfig:
+    """pixel_decoder.py:183-197."""
+    return PixelDecoderConfig(in_chans=in_chans, out_chans=out_chans,
+                              upscale_factor=upscale_factor,
+                              embed_dim=768, depth=12, num_heads=12, ffn_ratio=4.0, **kw)
+
+
+def pixel_decoder_large(in_chans: int = 256, out_chans: int = 3,
+                        upscale_factor: int = 4, **kw) -> PixelDecoderConfig:
+    """pixel_decoder.py:200-214."""
+    return PixelDecoderConfig(in_chans=in_chans, out_chans=out_chans,
+                              upscale_factor=upscale_factor,
+                              embed_dim=1024, depth=24, num_heads=16, ffn_ratio=4.0, **kw)
+
+
+DECODER_FACTORIES = {
+    "pixel_decoder_small": pixel_decoder_small,
+    "pixel_decoder_base": pixel_decoder_base,
+    "pixel_decoder_large": pixel_decoder_large,
+}

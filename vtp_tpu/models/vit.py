@@ -356,3 +356,60 @@ def vit_get_intermediate_layers(
     if not return_class_token and return_extra_tokens:
         return tuple(zip(patches, extra))
     return tuple(zip(patches, class_tokens, extra))
+
+
+# ---------------------------------------------------------------- factories
+# Trunk size factories mirroring the reference's vit_* constructors
+# (vision_transformer.py:328-410). They return ViTConfig values —
+# params are pytrees here, so "constructing a model" means picking a
+# config and calling init_vit_params.
+
+def _vit_cfg(patch_size: int, **kw) -> ViTConfig:
+    return ViTConfig(patch_size=patch_size, **kw)
+
+
+def vit_small(patch_size: int = 16, **kw) -> ViTConfig:
+    """vision_transformer.py:328-337."""
+    return _vit_cfg(patch_size, embed_dim=384, depth=12, num_heads=6, ffn_ratio=4.0, **kw)
+
+
+def vit_base(patch_size: int = 16, **kw) -> ViTConfig:
+    """vision_transformer.py:340-349."""
+    return _vit_cfg(patch_size, embed_dim=768, depth=12, num_heads=12, ffn_ratio=4.0, **kw)
+
+
+def vit_large(patch_size: int = 16, **kw) -> ViTConfig:
+    """vision_transformer.py:352-361."""
+    return _vit_cfg(patch_size, embed_dim=1024, depth=24, num_heads=16, ffn_ratio=4.0, **kw)
+
+
+def vit_so400m(patch_size: int = 16, **kw) -> ViTConfig:
+    """vision_transformer.py:364-373."""
+    return _vit_cfg(patch_size, embed_dim=1152, depth=27, num_heads=18,
+                    ffn_ratio=3.777777778, **kw)
+
+
+def vit_huge2(patch_size: int = 16, **kw) -> ViTConfig:
+    """vision_transformer.py:376-385."""
+    return _vit_cfg(patch_size, embed_dim=1280, depth=32, num_heads=20, ffn_ratio=4.0, **kw)
+
+
+def vit_giant2(patch_size: int = 16, **kw) -> ViTConfig:
+    """vision_transformer.py:388-398 (1536 dim, 24 heads -> head_dim 64)."""
+    return _vit_cfg(patch_size, embed_dim=1536, depth=40, num_heads=24, ffn_ratio=4.0, **kw)
+
+
+def vit_7b(patch_size: int = 16, **kw) -> ViTConfig:
+    """vision_transformer.py:401-410."""
+    return _vit_cfg(patch_size, embed_dim=4096, depth=40, num_heads=32, ffn_ratio=3.0, **kw)
+
+
+VIT_FACTORIES = {
+    "vit_small": vit_small,
+    "vit_base": vit_base,
+    "vit_large": vit_large,
+    "vit_so400m": vit_so400m,
+    "vit_huge2": vit_huge2,
+    "vit_giant2": vit_giant2,
+    "vit_7b": vit_7b,
+}
