@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -43,31 +44,56 @@ V5E_BF16_PEAK = 197e12  # FLOP/s per chip
 FP32_EMULATION_PASSES = 6  # 'float32' matmul precision = 6-pass bf16
 
 
-def tower_flops(n_tokens: int, dim: int, depth: int, ffn_hidden: int, rotated: int) -> float:
-    """Matmul FLOPs per image for one transformer tower."""
+def tower_flops(n_tokens: int, dim: int, depth: int, ffn_hidden: int,
+                ffn_gemms: int = 3) -> float:
+    """Matmul FLOPs per image for one transformer tower (ffn_gemms=3 for
+    SwiGLU w1/w2/w3, 2 for a plain Mlp c_fc/c_proj)."""
     qkv = 2 * n_tokens * dim * 3 * dim
     attn = 2 * 2 * n_tokens * n_tokens * dim  # QK^T + PV
     proj = 2 * n_tokens * dim * dim
-    ffn = 3 * 2 * n_tokens * dim * ffn_hidden  # w1 + w2 + w3 (swiglu)
+    ffn = ffn_gemms * 2 * n_tokens * dim * ffn_hidden
     return depth * (qkv + attn + proj + ffn)
 
 
-def roundtrip_flops(cfg: VTPConfig) -> tuple[float, float]:
+def _ffn_hidden(dim: int, ratio: float, layer: str) -> int:
+    return swiglu_hidden_dim(dim, ratio) if layer == "swiglu" else int(dim * ratio)
+
+
+def trunk_fwd_flops(cfg: VTPConfig, image_size: Optional[int] = None) -> float:
+    size = image_size or cfg.image_size
+    g = size // cfg.vision_patch_size
+    n = g * g + 1 + cfg.vision_n_storage_tokens
+    f = tower_flops(
+        n, cfg.vision_embed_dim, cfg.vision_depth,
+        _ffn_hidden(cfg.vision_embed_dim, cfg.vision_mlp_ratio, cfg.vision_ffn_layer),
+    )
+    f += 2 * g * g * (3 * cfg.vision_patch_size**2) * cfg.vision_embed_dim  # patchify
+    f += 2 * (g * g + 1) * cfg.vision_embed_dim * cfg.vision_feature_bottleneck
+    return f
+
+
+def decoder_fwd_flops(cfg: VTPConfig) -> float:
     g = cfg.image_size // cfg.vision_patch_size
-    n_enc = g * g + 1 + cfg.vision_n_storage_tokens
-    enc = tower_flops(
-        n_enc, cfg.vision_embed_dim, cfg.vision_depth,
-        swiglu_hidden_dim(cfg.vision_embed_dim, cfg.vision_mlp_ratio), g * g,
-    )
-    enc += 2 * g * g * (3 * cfg.vision_patch_size**2) * cfg.vision_embed_dim  # patchify
-    enc += 2 * (g * g + 1) * cfg.vision_embed_dim * cfg.vision_feature_bottleneck
-    dec = tower_flops(
+    f = tower_flops(
         g * g, cfg.decoder_embed_dim, cfg.decoder_depth,
-        swiglu_hidden_dim(cfg.decoder_embed_dim, cfg.decoder_mlp_ratio), g * g,
+        _ffn_hidden(cfg.decoder_embed_dim, cfg.decoder_mlp_ratio, cfg.decoder_ffn_layer),
     )
-    dec += 2 * g * g * cfg.vision_feature_bottleneck * cfg.decoder_embed_dim
-    dec += 2 * g * g * cfg.decoder_embed_dim * 3 * cfg.decoder_upscale_factor**2
-    return enc, dec
+    f += 2 * g * g * cfg.vision_feature_bottleneck * cfg.decoder_embed_dim
+    f += 2 * g * g * cfg.decoder_embed_dim * 3 * cfg.decoder_upscale_factor**2
+    return f
+
+
+def text_fwd_flops(cfg: VTPConfig) -> float:
+    n = cfg.text_context_length
+    f = tower_flops(
+        n, cfg.text_embed_dim, cfg.text_depth,
+        int(cfg.text_embed_dim * cfg.text_mlp_ratio), ffn_gemms=2,
+    )
+    return f + 2 * cfg.text_embed_dim * cfg.text_embed_dim  # pooled projection
+
+
+def roundtrip_flops(cfg: VTPConfig) -> tuple[float, float]:
+    return trunk_fwd_flops(cfg), decoder_fwd_flops(cfg)
 
 
 def speed_of_light_imgs_per_sec(cfg: VTPConfig, mode: str) -> float:
@@ -80,17 +106,57 @@ def speed_of_light_imgs_per_sec(cfg: VTPConfig, mode: str) -> float:
     return 1.0 / t
 
 
+def train_sol_imgs_per_sec(cfg: VTPConfig, *, remat: bool, ssl: bool,
+                           n_local: int = 4, local_size: int = 96,
+                           upperbound_ratio: float = 0.5,
+                           dino_hidden: int = 2048, dino_bottleneck: int = 256,
+                           dino_out: int = 65536, dino_nlayers: int = 3) -> float:
+    """Analytic speed-of-light for the train step (matmul FLOPs only,
+    everything bf16 on the MXU). Backward of a matmul tower is 2x its
+    forward (dL/dW + dL/dx); block remat recomputes the forward once
+    more inside the backward, so gradient-bearing towers cost 4x forward
+    FLOPs with remat, 3x without. Teacher towers (stop-gradient) cost 1x."""
+    mult = 4.0 if remat else 3.0
+    # CLIP branch (trunk + text) + rec branch (trunk + decoder), all with grads
+    per_img = mult * (2 * trunk_fwd_flops(cfg) + text_fwd_flops(cfg)
+                      + decoder_fwd_flops(cfg))
+    if ssl:
+        in_dim = (cfg.vision_embed_dim if cfg.vision_bottleneck_ae_only
+                  else cfg.vision_feature_bottleneck)
+        h, b = dino_hidden, dino_bottleneck
+        head_per_tok = 2 * (in_dim * h + h * h + h * b + b * dino_out)
+        assert dino_nlayers == 3  # flops above assume the default 3-layer MLP
+        g = cfg.image_size // cfg.vision_patch_size
+        masked_per_img = 2 * g * g * upperbound_ratio  # upperbound rows / image
+        head_tokens = 2 + n_local + masked_per_img  # global cls + local cls + masked
+        teacher_tokens = 2 + masked_per_img
+        per_img += 1.0 * (2 * trunk_fwd_flops(cfg)  # teacher, stop-grad
+                          + teacher_tokens * head_per_tok)
+        per_img += mult * (2 * trunk_fwd_flops(cfg)  # student globals (masked)
+                           + n_local * trunk_fwd_flops(cfg, local_size)
+                           + head_tokens * head_per_tok)
+    return V5E_BF16_PEAK / per_img
+
+
 def bench_train() -> None:
-    """BENCH_MODE=train: combined CLIP+rec train-step throughput
-    (images/sec/chip) on the preset model, synthetic batch."""
+    """BENCH_MODE=train: train-step throughput (images/sec/chip) on the
+    preset model, synthetic batch. BENCH_SSL=1 adds the full multi-crop
+    DINO/iBOT SSL objective on top of CLIP+rec; BENCH_REMAT=0 disables
+    block rematerialization (fits comfortably for VTP-B at batch 32 and
+    removes the recompute tax). vs_baseline = fraction of the analytic
+    matmul speed-of-light for the same step (see train_sol_imgs_per_sec)."""
     preset = os.environ.get("BENCH_PRESET", "vtp-base")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
+    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    ssl = os.environ.get("BENCH_SSL", "0") == "1"
 
-    from vtp_tpu.train.step import TrainConfig, build_train_step, init_state
+    from vtp_tpu.train.step import (
+        TrainConfig, build_train_step, init_state, make_ssl_batch,
+    )
 
     cfg = PRESETS[preset]()
-    tcfg = TrainConfig(train_ssl=False, warmup_steps=0, total_steps=1000)
+    tcfg = TrainConfig(train_ssl=ssl, warmup_steps=0, total_steps=1000, remat=remat)
     state = init_state(jax.random.key(0), cfg, tcfg)
     step = jax.jit(build_train_step(cfg, tcfg), donate_argnums=(0,))
     k1, k2 = jax.random.split(jax.random.key(1))
@@ -100,6 +166,11 @@ def bench_train() -> None:
                                    cfg.text_vocab_size - 1),
         "rec_image": jax.random.normal(k1, (batch, 3, cfg.image_size, cfg.image_size)),
     }
+    if ssl:
+        batch_data["ssl"] = make_ssl_batch(
+            jax.random.key(4), batch, global_size=cfg.image_size,
+            patch=cfg.vision_patch_size,
+        )
 
     t0 = time.perf_counter()
     state, metrics = step(state, batch_data, jax.random.key(2))
@@ -110,11 +181,18 @@ def bench_train() -> None:
         state, metrics = step(state, batch_data, jax.random.key(3 + i))
     _ = float(metrics["loss/total"])  # host fetch = sync
     dt = (time.perf_counter() - t0) / iters
+    sol = train_sol_imgs_per_sec(cfg, remat=remat, ssl=ssl)
+    imgs = batch / dt
+    name = "CLIP+SSL+rec" if ssl else "CLIP+rec"
+    print(f"[bench] {dt*1e3:.1f} ms/step, {imgs:.1f} img/s, SoL {sol:.1f} "
+          f"({imgs/sol*100:.1f}%), remat={remat}", file=sys.stderr)
     print(json.dumps({
-        "metric": f"{preset} 256px CLIP+rec train step throughput",
-        "value": round(batch / dt, 2),
+        "metric": (f"{preset} 256px {name} train step throughput "
+                   f"(remat={'on' if remat else 'off'}); vs_baseline = fraction "
+                   f"of the analytic bf16 matmul speed-of-light for this step"),
+        "value": round(imgs, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(imgs / sol, 4),
     }))
 
 
