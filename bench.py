@@ -148,7 +148,8 @@ def bench_train() -> None:
     preset = os.environ.get("BENCH_PRESET", "vtp-base")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    remat = os.environ.get("BENCH_REMAT", "1") == "1"
+    remat_env = os.environ.get("BENCH_REMAT", "1")
+    remat = {"0": False, "1": True}.get(remat_env, remat_env)
     ssl = os.environ.get("BENCH_SSL", "0") == "1"
 
     from vtp_tpu.train.step import (

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -203,7 +203,7 @@ def dit_forward(
     y: jax.Array,          # (B,) int labels (cfg.null_label for uncond)
     *,
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
-    remat: bool = False,
+    remat: Union[bool, str] = False,
 ) -> jax.Array:
     """Predict velocity field v(x_t, t, y); returns (B, C, H, W)."""
     B, C, H, W = x.shape
@@ -227,8 +227,9 @@ def dit_forward(
     def body(carry, layer_params):
         return _dit_block(carry, cond, layer_params, cfg, rope, compute_dtype), None
 
-    if remat:
-        body = jax.checkpoint(body)
+    from vtp_tpu.models.blocks import remat_wrap
+
+    body = remat_wrap(body, remat)
     h, _ = jax.lax.scan(body, h, params["blocks"])
 
     ada = linear(jax.nn.silu(cond), params["final"]["ada"], compute_dtype).astype(jnp.float32)

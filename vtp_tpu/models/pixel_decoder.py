@@ -8,7 +8,7 @@ PixelShuffle is a pure reshape/transpose (ops/patchify.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -93,7 +93,7 @@ def pixel_decoder_forward(
     latents: jax.Array,
     *,
     compute_dtype: Optional[jnp.dtype] = None,
-    remat: bool = False,
+    remat: Union[bool, str] = False,
 ) -> jax.Array:
     """(B, C_in, H', W') latents -> (B, 3, H'*u, W'*u) images
     (pixel_decoder.py:134-162). Runs fp32 by default, matching the
@@ -118,7 +118,7 @@ def _pixel_decoder_forward(
     cfg: PixelDecoderConfig,
     latents: jax.Array,
     compute_dtype: Optional[jnp.dtype],
-    remat: bool = False,
+    remat: Union[bool, str] = False,
 ) -> jax.Array:
     B, _, H, W = latents.shape
     x = latents.transpose(0, 2, 3, 1).reshape(B, H * W, cfg.in_chans)

@@ -243,7 +243,7 @@ def vit_forward_features(
     drop_ratio: float = 0.0,
     key: Optional[jax.Array] = None,
     drop_shards: int = 1,
-    remat: bool = False,
+    remat: Union[bool, str] = False,
 ) -> Union[Dict[str, jax.Array], List[Dict[str, jax.Array]]]:
     """forward_features(_list): returns the reference's output dict(s)
     {x_norm_clstoken, x_storage_tokens, x_norm_patchtokens, x_prenorm, masks}

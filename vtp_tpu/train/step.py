@@ -20,7 +20,7 @@ from the shared PRNG key (models/blocks.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -89,8 +89,10 @@ class TrainConfig:
     grad_clip: float = 1.0
     # precision
     compute_dtype: Optional[str] = "bf16"
-    # memory: rematerialize blocks in backward (jax.checkpoint)
-    remat: bool = True
+    # memory: rematerialize blocks in backward (jax.checkpoint).
+    # False = save all, True/"full" = save nothing, "dots" = save matmul
+    # outputs and recompute elementwise only (blocks.remat_wrap).
+    remat: Union[bool, str] = True
     # parallelism (drop-path shard count, = data-axis size)
     drop_shards: int = 1
 
