@@ -42,26 +42,33 @@ def time_fn(
     last positional arg of the next call, forcing each dispatch to
     depend on the previous result (defeats runtime dedup caching).
     """
+    # NOTE: ``jax.block_until_ready`` is a no-op through the axon tunnel —
+    # only a host fetch synchronizes. Every timing below therefore ends
+    # with ``float(...)`` on a scalar derived from the final output.
+    def _sync(x):
+        leaf = jax.tree.leaves(x)[0]
+        return float(jnp.asarray(leaf).ravel()[0].astype(jnp.float32))
+
     if chain is not None:
         carry = jnp.zeros((), jnp.float32)
         for _ in range(warmup):
             out = fn(*args, carry)
             carry = chain(out)
-        jax.block_until_ready(out)
+        _sync(carry)
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args, carry)
             carry = chain(out)
-        jax.block_until_ready(out)
+        _sync(carry)
         return (time.perf_counter() - t0) / iters
 
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
