@@ -26,6 +26,7 @@ from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from vtp_tpu.models.initializers import linear_init, trunc_normal
 from vtp_tpu.ops.activations import ACT
@@ -220,6 +221,10 @@ def attention_apply(
         o = sdpa_bnhd(q, k, v, n_valid=n_valid)
         outs.append(o.reshape(b * n, cfg.dim))
     out_flat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    # Named for remat policies ("attn"/"dots_attn" in remat_wrap): saving
+    # the attention output keeps the backward from re-running the flash
+    # kernel (the proj dW needs it as an operand).
+    out_flat = checkpoint_name(out_flat, "attn_out")
     return linear(out_flat, p["proj"], compute_dtype)
 
 
@@ -388,9 +393,17 @@ def remat_wrap(body, remat):
                          analogue, modeling_vtp.py:37)
       "dots"           — save matmul outputs, recompute only elementwise ops
                          (norms/activations/residuals). Memory sits between
-                         the two, but the backward skips re-running the GEMMs
-                         — on v5e this recovers most of the no-remat speed
-                         at a fraction of its HBM footprint.
+                         the two, but the backward skips re-running the GEMMs.
+      "attn"           — save only the attention outputs (tagged
+                         "attn_out" in attention_apply): the backward
+                         recomputes the cheap-to-refuse GEMMs but never
+                         re-runs the flash-attention forward kernel.
+      "dots_attn"      — union of "dots" and "attn".
+
+    Measured on v5e (VTP-B CLIP+rec, batch 32): GEMM recompute is nearly
+    free (fuses into the backward), so "dots" loses to "full" once its
+    save-buffer traffic is counted; "attn" targets the one recompute
+    that is NOT free (the Pallas kernel, ~9 ms/step).
     """
     if remat is False or remat is None:
         return body
@@ -399,6 +412,18 @@ def remat_wrap(body, remat):
     if remat == "dots":
         return jax.checkpoint(
             body, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        )
+    if remat == "attn":
+        return jax.checkpoint(
+            body, policy=jax.checkpoint_policies.save_only_these_names("attn_out")
+        )
+    if remat == "dots_attn":
+        return jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                jax.checkpoint_policies.save_only_these_names("attn_out"),
+            ),
         )
     raise ValueError(f"unknown remat mode: {remat!r}")
 
