@@ -131,10 +131,12 @@ def test_remat_matches_plain(rng):
         return jnp.sum(out["x_norm_patchtokens"].astype(jnp.float32) ** 2)
 
     g0 = jax.grad(lambda p: loss(p, False))(params)
-    g1 = jax.grad(lambda p: loss(p, True))(params)
-    jax.tree.map(
-        lambda a, b: np.testing.assert_allclose(
-            np.asarray(a, np.float32), np.asarray(b, np.float32), atol=1e-5, rtol=1e-4
-        ),
-        g0, g1,
-    )
+    for mode in (True, "dots", "attn", "dots_attn"):
+        g1 = jax.grad(lambda p: loss(p, mode))(params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-5, rtol=1e-4,
+            ),
+            g0, g1,
+        )
