@@ -150,6 +150,7 @@ def bench_train() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     remat_env = os.environ.get("BENCH_REMAT", "1")
     remat = {"0": False, "1": True}.get(remat_env, remat_env)
+    unroll = os.environ.get("BENCH_UNROLL", "0") == "1"
     ssl = os.environ.get("BENCH_SSL", "0") == "1"
 
     from vtp_tpu.train.step import (
@@ -157,7 +158,8 @@ def bench_train() -> None:
     )
 
     cfg = PRESETS[preset]()
-    tcfg = TrainConfig(train_ssl=ssl, warmup_steps=0, total_steps=1000, remat=remat)
+    tcfg = TrainConfig(train_ssl=ssl, warmup_steps=0, total_steps=1000,
+                       remat=remat, unroll_layers=unroll)
     state = init_state(jax.random.key(0), cfg, tcfg)
     step = jax.jit(build_train_step(cfg, tcfg), donate_argnums=(0,))
     k1, k2 = jax.random.split(jax.random.key(1))

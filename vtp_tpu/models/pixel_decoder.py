@@ -94,6 +94,7 @@ def pixel_decoder_forward(
     *,
     compute_dtype: Optional[jnp.dtype] = None,
     remat: Union[bool, str] = False,
+    unroll: bool = False,
 ) -> jax.Array:
     """(B, C_in, H', W') latents -> (B, 3, H'*u, W'*u) images
     (pixel_decoder.py:134-162). Runs fp32 by default, matching the
@@ -109,8 +110,8 @@ def pixel_decoder_forward(
 
         precision = os.environ.get("VTP_DECODE_PRECISION", "float32")
         with jax.default_matmul_precision(precision):
-            return _pixel_decoder_forward(params, cfg, latents, None, remat)
-    return _pixel_decoder_forward(params, cfg, latents, compute_dtype, remat)
+            return _pixel_decoder_forward(params, cfg, latents, None, remat, unroll)
+    return _pixel_decoder_forward(params, cfg, latents, compute_dtype, remat, unroll)
 
 
 def _pixel_decoder_forward(
@@ -119,6 +120,7 @@ def _pixel_decoder_forward(
     latents: jax.Array,
     compute_dtype: Optional[jnp.dtype],
     remat: Union[bool, str] = False,
+    unroll: bool = False,
 ) -> jax.Array:
     B, _, H, W = latents.shape
     x = latents.transpose(0, 2, 3, 1).reshape(B, H * W, cfg.in_chans)
@@ -130,7 +132,7 @@ def _pixel_decoder_forward(
     )
     (x,), _ = scan_blocks(
         (x,), params["blocks"], cfg.block, [rope],
-        depth=cfg.depth, compute_dtype=compute_dtype, remat=remat,
+        depth=cfg.depth, compute_dtype=compute_dtype, remat=remat, unroll=unroll,
     )
     x = apply_norm(x, params["norm"], cfg.norm_layer, norm_eps(cfg.norm_layer))
     x = linear(x, params["proj_out"], compute_dtype)  # (B, HW, 3*u^2)

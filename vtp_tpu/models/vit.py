@@ -244,6 +244,7 @@ def vit_forward_features(
     key: Optional[jax.Array] = None,
     drop_shards: int = 1,
     remat: Union[bool, str] = False,
+    unroll: bool = False,
 ) -> Union[Dict[str, jax.Array], List[Dict[str, jax.Array]]]:
     """forward_features(_list): returns the reference's output dict(s)
     {x_norm_clstoken, x_storage_tokens, x_norm_patchtokens, x_prenorm, masks}
@@ -271,6 +272,7 @@ def vit_forward_features(
         depth=cfg.depth, compute_dtype=compute_dtype,
         drop_ratio=drop_ratio, training=training, key=drop_key,
         drop_shards=drop_shards, remat=remat, n_valids=n_valids,
+        unroll=unroll,
     )
 
     outputs = []

@@ -93,6 +93,10 @@ class TrainConfig:
     # False = save all, True/"full" = save nothing, "dots" = save matmul
     # outputs and recompute elementwise only (blocks.remat_wrap).
     remat: Union[bool, str] = True
+    # unroll the block depth loop in train forwards (faster backward on
+    # v5e: the scan transpose's stacked-grad DUS accumulation costs
+    # 20-25%; compile time grows with depth)
+    unroll_layers: bool = False
     # parallelism (drop-path shard count, = data-axis size)
     drop_shards: int = 1
 
@@ -217,6 +221,7 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
             compute_dtype=cdt, training=True,
             drop_ratio=tcfg.clip_drop_rate, key=key,
             drop_shards=tcfg.drop_shards, remat=tcfg.remat,
+            unroll=tcfg.unroll_layers,
         )
         feat = (
             out["x_norm_clstoken"] if cfg.vision_clip_feat == "cls"
@@ -236,12 +241,13 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
             use_bottleneck=True, compute_dtype=cdt, training=True,
             drop_ratio=tcfg.rec_drop_rate, key=key,
             drop_shards=tcfg.drop_shards, remat=tcfg.remat,
+            unroll=tcfg.unroll_layers,
         )
         p = cfg.vision_patch_size
         latents = patch_tokens_to_4d(out["x_norm_patchtokens"], H // p, W // p)
         rec = pixel_decoder_forward(
             params["pixel_decoder"], dcfg, latents, compute_dtype=cdt,
-            remat=tcfg.remat,
+            remat=tcfg.remat, unroll=tcfg.unroll_layers,
         )
         return reconstruction_loss(rec, image, loss_type=tcfg.rec_loss_type)
 
@@ -274,6 +280,7 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
             use_bottleneck=use_bn_for_ssl, compute_dtype=cdt,
             training=True, drop_ratio=tcfg.ssl_drop_rate, key=key,
             drop_shards=tcfg.drop_shards, remat=tcfg.remat,
+            unroll=tcfg.unroll_layers,
         )
         s_g_cls = s_global["x_norm_clstoken"]
         s_l_cls = s_local["x_norm_clstoken"]
