@@ -141,16 +141,18 @@ def train_sol_imgs_per_sec(cfg: VTPConfig, *, remat: bool, ssl: bool,
 def bench_train() -> None:
     """BENCH_MODE=train: train-step throughput (images/sec/chip) on the
     preset model, synthetic batch. BENCH_SSL=1 adds the full multi-crop
-    DINO/iBOT SSL objective on top of CLIP+rec; BENCH_REMAT=0 disables
-    block rematerialization (fits comfortably for VTP-B at batch 32 and
-    removes the recompute tax). vs_baseline = fraction of the analytic
+    DINO/iBOT SSL objective on top of CLIP+rec. Defaults are the fastest
+    measured v5e config: no remat + unrolled depth loop (fits at batch
+    32 for VTP-B, incl. the SSL step). BENCH_REMAT selects a
+    remat_wrap policy (0/1/dots/attn/dots_attn), BENCH_UNROLL=0 reverts
+    to lax.scan. vs_baseline = fraction of the analytic
     matmul speed-of-light for the same step (see train_sol_imgs_per_sec)."""
     preset = os.environ.get("BENCH_PRESET", "vtp-base")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    remat_env = os.environ.get("BENCH_REMAT", "1")
+    remat_env = os.environ.get("BENCH_REMAT", "0")
     remat = {"0": False, "1": True}.get(remat_env, remat_env)
-    unroll = os.environ.get("BENCH_UNROLL", "0") == "1"
+    unroll = os.environ.get("BENCH_UNROLL", "1") == "1"
     ssl = os.environ.get("BENCH_SSL", "0") == "1"
 
     from vtp_tpu.train.step import (
