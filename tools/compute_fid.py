@@ -23,6 +23,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from vtp_tpu.utils.env import apply_jax_platforms_env
+
+apply_jax_platforms_env()
+
 
 def iter_batches(path: str, batch_size: int, image_size: int):
     import numpy as np

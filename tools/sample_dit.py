@@ -15,6 +15,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from vtp_tpu.utils.env import apply_jax_platforms_env
+
+apply_jax_platforms_env()
+
 
 def main() -> None:
     p = argparse.ArgumentParser()

@@ -28,6 +28,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from vtp_tpu.utils.env import apply_jax_platforms_env
+
+apply_jax_platforms_env()
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()

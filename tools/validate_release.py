@@ -27,6 +27,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from vtp_tpu.utils.env import apply_jax_platforms_env
+
+apply_jax_platforms_env()
+
 # reference README.md:164-166
 PUBLISHED = {
     "vtp-small": {"rfid": 0.98, "zero_shot_top1": 66.7, "linear_probe_top1": 77.5},
