@@ -140,3 +140,23 @@ def test_remat_matches_plain(rng):
             ),
             g0, g1,
         )
+
+
+def test_scan_unroll_parity():
+    """unroll=True must match lax.scan incl. the collect_last tail."""
+    from vtp_tpu.models.blocks import BlockConfig, init_stacked_blocks, scan_blocks
+
+    cfg = BlockConfig(dim=32, num_heads=2, ffn_ratio=2.0, ffn_layer="swiglu",
+                      norm_kind="rmsnorm")
+    depth = 4
+    stacked = init_stacked_blocks(jax.random.key(1), cfg, depth)
+    x = jax.random.normal(jax.random.key(2), (2, 8, 32), jnp.float32)
+
+    a_out, a_col = scan_blocks((x,), stacked, cfg, [None], depth=depth,
+                               collect_last=2)
+    b_out, b_col = scan_blocks((x,), stacked, cfg, [None], depth=depth,
+                               collect_last=2, unroll=True)
+    np.testing.assert_allclose(np.asarray(a_out[0]), np.asarray(b_out[0]), atol=1e-6)
+    assert len(a_col) == len(b_col) == 2
+    for ac, bc in zip(a_col, b_col):
+        np.testing.assert_allclose(np.asarray(ac[0]), np.asarray(bc[0]), atol=1e-6)
