@@ -204,6 +204,7 @@ def dit_forward(
     *,
     compute_dtype: Optional[jnp.dtype] = jnp.bfloat16,
     remat: Union[bool, str] = False,
+    unroll: bool = False,
 ) -> jax.Array:
     """Predict velocity field v(x_t, t, y); returns (B, C, H, W)."""
     B, C, H, W = x.shape
@@ -230,7 +231,14 @@ def dit_forward(
     from vtp_tpu.models.blocks import remat_wrap
 
     body = remat_wrap(body, remat)
-    h, _ = jax.lax.scan(body, h, params["blocks"])
+    if unroll:
+        # unrolled backward avoids the scan transpose's stacked-grad DUS
+        # accumulation (see models/blocks.scan_blocks); ~15% faster train
+        # steps on v5e at the cost of compile time
+        for i in range(params["blocks"]["ada"]["kernel"].shape[0]):
+            h, _ = body(h, jax.tree.map(lambda a: a[i], params["blocks"]))
+    else:
+        h, _ = jax.lax.scan(body, h, params["blocks"])
 
     ada = linear(jax.nn.silu(cond), params["final"]["ada"], compute_dtype).astype(jnp.float32)
     shift, scale = jnp.split(ada, 2, axis=-1)

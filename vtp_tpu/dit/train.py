@@ -11,7 +11,7 @@ precomputed latents_flip, label dropout for cfg.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Iterator, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -39,7 +39,8 @@ class DiTTrainConfig:
     use_cosine_loss: bool = True
     class_dropout_prob: float = 0.1
     compute_dtype: Optional[str] = "bf16"
-    remat: bool = True
+    remat: Union[bool, str] = True
+    unroll_layers: bool = False
 
     @property
     def jnp_compute_dtype(self):
@@ -83,7 +84,8 @@ def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
 
         def loss_fn(params):
             model_fn = lambda xt, t, yy: dit_forward(
-                params, cfg, xt, t, yy, compute_dtype=cdt, remat=tcfg.remat
+                params, cfg, xt, t, yy, compute_dtype=cdt, remat=tcfg.remat,
+                unroll=tcfg.unroll_layers
             )
             return training_losses(
                 model_fn, k_loss, latents, y,
