@@ -184,6 +184,10 @@ def _dit_block(x: jax.Array, cond: jax.Array, p: dict, cfg: DiTConfig,
         if compute_dtype is not None:
             q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
         o = sdpa(q, k, v).transpose(0, 2, 1, 3).reshape(B, N, D)
+    from jax.ad_checkpoint import checkpoint_name
+
+    # named for remat="attn"/"dots_attn" (models/blocks.remat_wrap)
+    o = checkpoint_name(o, "attn_out")
     o = linear(o, p["attn"]["proj"], compute_dtype)
     x = x + g1[:, None, :] * o.astype(jnp.float32)
 
