@@ -214,11 +214,10 @@ def bench_dit() -> None:
     from vtp_tpu.dit.train import DiTTrainConfig, build_dit_train_step, init_dit_state
 
     cfg = make_dit_config("DiT-XL/1")
-    # fastest measured fit on v5e: full remat + unrolled depth loop, 90.8
-    # img/s vs 82.0 scanned (no-remat / dots_attn OOM the 675M model at
-    # batch 32; remat="attn" measures the same as full here and its
-    # 28-layer unrolled compile is pathologically slow)
-    tcfg = DiTTrainConfig(remat=True, unroll_layers=True)
+    # fastest measured fit on v5e: remat="attn" (save attention outputs)
+    # + unrolled depth loop — 93.8 img/s vs 90.8 full-remat-unrolled and
+    # 82.0 scanned (no-remat / dots_attn OOM the 675M model at batch 32)
+    tcfg = DiTTrainConfig(remat="attn", unroll_layers=True)
     state = init_dit_state(jax.random.key(0), cfg, tcfg)
     step = jax.jit(build_dit_train_step(cfg, tcfg), donate_argnums=(0,))
     lat = jax.random.normal(jax.random.key(1), (batch, cfg.in_channels,
