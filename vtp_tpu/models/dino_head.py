@@ -57,15 +57,24 @@ def dino_head_forward(
     *,
     no_last_layer: bool = False,
     only_last_layer: bool = False,
+    compute_dtype=None,
 ) -> jax.Array:
-    """MLP -> L2 normalize -> weight-normed projection (dino_head.py:65-89)."""
+    """MLP -> L2 normalize -> weight-normed projection (dino_head.py:65-89).
+
+    ``compute_dtype=bf16`` mirrors torch-autocast training: GEMMs and
+    stored activations/logits are bf16 (the 65536-wide prototype logits
+    are the dominant SSL-loss HBM traffic; fp32 doubles it), while the
+    L2-normalize runs in fp32. Losses upcast per element (train/losses).
+    Default None keeps the fp32 eval/parity behavior."""
     if not only_last_layer:
         n = max(cfg.nlayers, 1)
         for i in range(n):
-            x = linear(x, params["mlp"][f"layer{i}"], None)
+            x = linear(x, params["mlp"][f"layer{i}"], compute_dtype)
             if i < n - 1:
                 x = gelu_exact(x)
         eps = 1e-6 if x.dtype == jnp.float16 else 1e-12
+        if compute_dtype is not None:
+            x = x.astype(jnp.float32)  # L2 normalize in fp32 (autocast-style)
         # Gradient-safe L2 normalize: jnp.linalg.norm's VJP at an exactly
         # zero row is 0/0 = NaN (zero rows occur when drop-path skips a
         # sample whose masked tokens are the zero-initialized mask_token).
@@ -73,6 +82,8 @@ def dino_head_forward(
         sq = jnp.sum(x * x, axis=-1, keepdims=True)
         norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
         x = x / jnp.maximum(norm, eps)
+        if compute_dtype is not None:
+            x = x.astype(compute_dtype)
     if not no_last_layer:
         last = params["last_layer"]
         if "v" in last:
@@ -80,7 +91,9 @@ def dino_head_forward(
             # torch weight_norm: W = g * v / ||v|| with the norm over the
             # input dim (dim=0 of torch's (out, in) weight).
             w = v * (g / jnp.linalg.norm(v, axis=0))[None, :]
+            if compute_dtype is not None:
+                w = w.astype(compute_dtype)
             x = x @ w
         else:
-            x = linear(x, last, None)
+            x = linear(x, last, compute_dtype)
     return x

@@ -59,8 +59,9 @@ def dino_loss(
     """DINO cross-entropy: centered+sharpened teacher targets vs
     student log-softmax. teacher side is stop-gradient by construction
     (teacher params are EMA copies)."""
-    t = jax.nn.softmax((teacher_logits - center) / teacher_temp, axis=-1)
-    s = jax.nn.log_softmax(student_logits / student_temp, axis=-1)
+    t = jax.nn.softmax((teacher_logits.astype(jnp.float32) - center) / teacher_temp,
+                       axis=-1)
+    s = jax.nn.log_softmax(student_logits.astype(jnp.float32) / student_temp, axis=-1)
     return -jnp.mean(jnp.sum(t * s, axis=-1))
 
 
@@ -76,8 +77,10 @@ def ibot_loss(
     """Masked-patch DINO loss on the iBOT buffer (vtp.py:428-448 wires
     the masked tokens; the ``upperbound`` static buffer maps directly to
     XLA's static shapes — padded rows get zero weight)."""
-    t = jax.nn.softmax((teacher_patch_logits - center) / teacher_temp, axis=-1)
-    s = jax.nn.log_softmax(student_patch_logits / student_temp, axis=-1)
+    t = jax.nn.softmax((teacher_patch_logits.astype(jnp.float32) - center)
+                       / teacher_temp, axis=-1)
+    s = jax.nn.log_softmax(student_patch_logits.astype(jnp.float32) / student_temp,
+                           axis=-1)
     per_token = -jnp.sum(t * s, axis=-1)
     if mask_weight is None:
         return per_token.mean()
@@ -97,13 +100,12 @@ def update_center(
     static ``upperbound`` with index-0 duplicates (vtp.py:432-439), so
     an unweighted mean would bias the center toward token 0's logits.
     """
+    tl = teacher_logits.astype(jnp.float32)
     if weight is None:
-        batch_center = jnp.mean(teacher_logits, axis=0)
+        batch_center = jnp.mean(tl, axis=0)
     else:
-        w = weight.astype(teacher_logits.dtype)
-        batch_center = (teacher_logits * w[:, None]).sum(axis=0) / jnp.maximum(
-            w.sum(), 1.0
-        )
+        w = weight.astype(jnp.float32)
+        batch_center = (tl * w[:, None]).sum(axis=0) / jnp.maximum(w.sum(), 1.0)
     return momentum * center + (1.0 - momentum) * batch_center
 
 

@@ -265,10 +265,10 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
         t_cls = t_out["x_norm_clstoken"]
         # swap crops: student crop i targets teacher of the other crop
         t_cls_swapped = jnp.concatenate([t_cls[bc:], t_cls[:bc]], axis=0)
-        t_cls_head = dino_head_forward(teacher["dino_head"], hcfg, t_cls_swapped)
+        t_cls_head = dino_head_forward(teacher["dino_head"], hcfg, t_cls_swapped, compute_dtype=cdt)
         t_patch_flat = t_out["x_norm_patchtokens"].reshape(-1, t_out["x_norm_patchtokens"].shape[-1])
         t_masked = jnp.take(t_patch_flat, ssl["mask_indices"], axis=0)
-        t_masked_head = dino_head_forward(teacher["dino_head"], hcfg, t_masked)
+        t_masked_head = dino_head_forward(teacher["dino_head"], hcfg, t_masked, compute_dtype=cdt)
         t_cls_head = jax.lax.stop_gradient(t_cls_head)
         t_masked_head = jax.lax.stop_gradient(t_masked_head)
 
@@ -284,11 +284,11 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
         )
         s_g_cls = s_global["x_norm_clstoken"]
         s_l_cls = s_local["x_norm_clstoken"]
-        s_g_head = dino_head_forward(params["dino_head"], hcfg, s_g_cls)
-        s_l_head = dino_head_forward(params["dino_head"], hcfg, s_l_cls)
+        s_g_head = dino_head_forward(params["dino_head"], hcfg, s_g_cls, compute_dtype=cdt)
+        s_l_head = dino_head_forward(params["dino_head"], hcfg, s_l_cls, compute_dtype=cdt)
         s_patch_flat = s_global["x_norm_patchtokens"].reshape(-1, s_g_cls.shape[-1])
         s_masked = jnp.take(s_patch_flat, ssl["mask_indices"], axis=0)
-        s_masked_head = dino_head_forward(params["dino_head"], hcfg, s_masked)
+        s_masked_head = dino_head_forward(params["dino_head"], hcfg, s_masked, compute_dtype=cdt)
 
         l_dino_g = dino_loss(
             s_g_head, t_cls_head, dino_center,
