@@ -53,7 +53,16 @@ def parse_args(argv=None):
     p.add_argument("--local_size", type=int, default=96)
     p.add_argument("--mask_ratio", type=float, default=0.3)
     p.add_argument("--compute_dtype", default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--remat", default="full",
+                   choices=["off", "full", "dots", "attn", "dots_attn"],
+                   help="gradient-checkpoint policy (models/blocks.remat_wrap); "
+                        "'off' + --unroll_layers is the fastest v5e config "
+                        "when the model fits (see PERF.md)")
+    p.add_argument("--no_remat", action="store_true",
+                   help="deprecated alias for --remat off")
+    p.add_argument("--unroll_layers", action="store_true",
+                   help="unroll the block depth loop (faster backward, "
+                        "slower compile)")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--mesh", default=None,
                    help="DATA,MODEL mesh shape (default: all devices on data)")
@@ -201,7 +210,9 @@ def main(argv=None) -> None:
         total_steps=args.steps,
         teacher_momentum=args.teacher_momentum,
         compute_dtype=None if args.compute_dtype == "fp32" else "bf16",
-        remat=not args.no_remat,
+        remat=(False if (args.no_remat or args.remat == "off")
+               else True if args.remat == "full" else args.remat),
+        unroll_layers=args.unroll_layers,
         drop_shards=n_data,
     )
 
