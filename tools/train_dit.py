@@ -44,6 +44,13 @@ def main() -> None:
     p.add_argument("--out", default="./dit_ckpt")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--remat", default="attn",
+                   choices=["off", "full", "dots", "attn", "dots_attn"],
+                   help="gradient-checkpoint policy; 'attn' + unroll is the "
+                        "fastest XL/1 config that fits v5e (PERF.md)")
+    p.add_argument("--no_unroll_layers", action="store_true",
+                   help="use lax.scan for the depth loop instead of the "
+                        "(default) unrolled backward")
     args = p.parse_args()
 
     import jax
@@ -66,6 +73,9 @@ def main() -> None:
     tcfg = DiTTrainConfig(
         learning_rate=args.lr, total_steps=args.steps,
         lognorm_mu=args.lognorm_mu, lognorm_sigma=args.lognorm_sigma,
+        remat=(False if args.remat == "off"
+               else True if args.remat == "full" else args.remat),
+        unroll_layers=not args.no_unroll_layers,
     )
 
     state = init_dit_state(jax.random.key(args.seed), cfg, tcfg)
