@@ -59,6 +59,13 @@ def dino_loss(
     """DINO cross-entropy: centered+sharpened teacher targets vs
     student log-softmax. teacher side is stop-gradient by construction
     (teacher params are EMA copies)."""
+    from vtp_tpu.ops.fused_ce import fused_ce_rows, fused_ce_supported
+
+    if fused_ce_supported(teacher_logits, student_logits):
+        per_row = fused_ce_rows(teacher_logits, student_logits,
+                                center.astype(jnp.float32),
+                                teacher_temp, student_temp)
+        return per_row.mean()
     t = jax.nn.softmax((teacher_logits.astype(jnp.float32) - center) / teacher_temp,
                        axis=-1)
     s = jax.nn.log_softmax(student_logits.astype(jnp.float32) / student_temp, axis=-1)
@@ -77,11 +84,18 @@ def ibot_loss(
     """Masked-patch DINO loss on the iBOT buffer (vtp.py:428-448 wires
     the masked tokens; the ``upperbound`` static buffer maps directly to
     XLA's static shapes — padded rows get zero weight)."""
-    t = jax.nn.softmax((teacher_patch_logits.astype(jnp.float32) - center)
-                       / teacher_temp, axis=-1)
-    s = jax.nn.log_softmax(student_patch_logits.astype(jnp.float32) / student_temp,
-                           axis=-1)
-    per_token = -jnp.sum(t * s, axis=-1)
+    from vtp_tpu.ops.fused_ce import fused_ce_rows, fused_ce_supported
+
+    if fused_ce_supported(teacher_patch_logits, student_patch_logits):
+        per_token = fused_ce_rows(teacher_patch_logits, student_patch_logits,
+                                  center.astype(jnp.float32),
+                                  teacher_temp, student_temp)
+    else:
+        t = jax.nn.softmax((teacher_patch_logits.astype(jnp.float32) - center)
+                           / teacher_temp, axis=-1)
+        s = jax.nn.log_softmax(student_patch_logits.astype(jnp.float32)
+                               / student_temp, axis=-1)
+        per_token = -jnp.sum(t * s, axis=-1)
     if mask_weight is None:
         return per_token.mean()
     denom = jnp.maximum(mask_weight.sum(), 1.0)
