@@ -150,7 +150,10 @@ def bench_train() -> None:
     preset = os.environ.get("BENCH_PRESET", "vtp-base")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    remat_env = os.environ.get("BENCH_REMAT", "0")
+    # no-remat fits (and is fastest) for vtp-base at batch 32; larger
+    # presets need a checkpoint policy (VTP-L no-remat OOMs v5e HBM)
+    default_remat = "0" if preset == "vtp-base" else "attn"
+    remat_env = os.environ.get("BENCH_REMAT", default_remat)
     remat = {"0": False, "1": True}.get(remat_env, remat_env)
     unroll = os.environ.get("BENCH_UNROLL", "1") == "1"
     ssl = os.environ.get("BENCH_SSL", "0") == "1"
