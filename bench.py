@@ -28,6 +28,10 @@ import sys
 import time
 from typing import Optional
 
+from vtp_tpu.utils.env import bootstrap
+
+bootstrap()
+
 import jax
 import jax.numpy as jnp
 
@@ -106,6 +110,30 @@ def speed_of_light_imgs_per_sec(cfg: VTPConfig, mode: str) -> float:
     return 1.0 / t
 
 
+def _remat_recompute_fraction(cfg: VTPConfig, remat) -> float:
+    """Fraction of forward matmul FLOPs recomputed in the backward under
+    a remat_wrap policy. full remat recomputes everything (1.0); 'dots'
+    and 'dots_attn' save every matmul output so only elementwise ops are
+    recomputed (0.0 in a matmul-FLOPs model); 'attn' saves only the
+    attention-kernel outputs, so all GEMMs (everything but the attention
+    dots) re-run — approximated with the trunk's attention-dot fraction."""
+    if remat in (False, "0", "off", None):
+        return 0.0
+    if remat in ("dots", "dots_attn"):
+        return 0.0
+    if remat == "attn":
+        g = cfg.image_size // cfg.vision_patch_size
+        n = g * g + 1 + cfg.vision_n_storage_tokens
+        d = cfg.vision_embed_dim
+        attn = 2 * 2 * n * n * d
+        per_layer = tower_flops(
+            n, d, 1,
+            _ffn_hidden(d, cfg.vision_mlp_ratio, cfg.vision_ffn_layer),
+        )
+        return 1.0 - attn / per_layer
+    return 1.0  # True / "full"
+
+
 def train_sol_imgs_per_sec(cfg: VTPConfig, *, remat: bool, ssl: bool,
                            n_local: int = 4, local_size: int = 96,
                            upperbound_ratio: float = 0.5,
@@ -113,10 +141,12 @@ def train_sol_imgs_per_sec(cfg: VTPConfig, *, remat: bool, ssl: bool,
                            dino_out: int = 65536, dino_nlayers: int = 3) -> float:
     """Analytic speed-of-light for the train step (matmul FLOPs only,
     everything bf16 on the MXU). Backward of a matmul tower is 2x its
-    forward (dL/dW + dL/dx); block remat recomputes the forward once
-    more inside the backward, so gradient-bearing towers cost 4x forward
-    FLOPs with remat, 3x without. Teacher towers (stop-gradient) cost 1x."""
-    mult = 4.0 if remat else 3.0
+    forward (dL/dW + dL/dx); remat recomputes (part of) the forward
+    inside the backward, so gradient-bearing towers cost (3 + recompute
+    fraction) x forward FLOPs — 4x full remat, 3x none, partial policies
+    in between (see _remat_recompute_fraction). Teacher towers
+    (stop-gradient) cost 1x."""
+    mult = 3.0 + _remat_recompute_fraction(cfg, remat)
     # CLIP branch (trunk + text) + rec branch (trunk + decoder), all with grads
     per_img = mult * (2 * trunk_fwd_flops(cfg) + text_fwd_flops(cfg)
                       + decoder_fwd_flops(cfg))
@@ -138,26 +168,10 @@ def train_sol_imgs_per_sec(cfg: VTPConfig, *, remat: bool, ssl: bool,
     return V5E_BF16_PEAK / per_img
 
 
-def bench_train() -> None:
-    """BENCH_MODE=train: train-step throughput (images/sec/chip) on the
-    preset model, synthetic batch. BENCH_SSL=1 adds the full multi-crop
-    DINO/iBOT SSL objective on top of CLIP+rec. Defaults are the fastest
-    measured v5e config: no remat + unrolled depth loop (fits at batch
-    32 for VTP-B, incl. the SSL step). BENCH_REMAT selects a
-    remat_wrap policy (0/1/dots/attn/dots_attn), BENCH_UNROLL=0 reverts
-    to lax.scan. vs_baseline = fraction of the analytic
-    matmul speed-of-light for the same step (see train_sol_imgs_per_sec)."""
-    preset = os.environ.get("BENCH_PRESET", "vtp-base")
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
-    # no-remat fits (and is fastest) for vtp-base at batch 32; larger
-    # presets need a checkpoint policy (VTP-L no-remat OOMs v5e HBM)
-    default_remat = "0" if preset == "vtp-base" else "attn"
-    remat_env = os.environ.get("BENCH_REMAT", default_remat)
-    remat = {"0": False, "1": True}.get(remat_env, remat_env)
-    unroll = os.environ.get("BENCH_UNROLL", "1") == "1"
-    ssl = os.environ.get("BENCH_SSL", "0") == "1"
-
+def measure_train(*, preset: str, batch: int, iters: int, ssl: bool,
+                  remat, unroll: bool) -> dict:
+    """Measure train-step throughput; returns a dict of numbers (shared
+    by BENCH_MODE=train and the train section of the default bench)."""
     from vtp_tpu.train.step import (
         TrainConfig, build_train_step, init_state, make_ssl_batch,
     )
@@ -180,10 +194,12 @@ def bench_train() -> None:
             patch=cfg.vision_patch_size,
         )
 
+    name = "CLIP+SSL+rec" if ssl else "CLIP+rec"
     t0 = time.perf_counter()
     state, metrics = step(state, batch_data, jax.random.key(2))
     _ = float(metrics["loss/total"])
-    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"[bench] train/{name} compile+first: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = step(state, batch_data, jax.random.key(3 + i))
@@ -191,16 +207,59 @@ def bench_train() -> None:
     dt = (time.perf_counter() - t0) / iters
     sol = train_sol_imgs_per_sec(cfg, remat=remat, ssl=ssl)
     imgs = batch / dt
-    name = "CLIP+SSL+rec" if ssl else "CLIP+rec"
-    print(f"[bench] {dt*1e3:.1f} ms/step, {imgs:.1f} img/s, SoL {sol:.1f} "
-          f"({imgs/sol*100:.1f}%), remat={remat}", file=sys.stderr)
+    print(f"[bench] train/{name}: {dt*1e3:.1f} ms/step, {imgs:.1f} img/s, "
+          f"SoL {sol:.1f} ({imgs/sol*100:.1f}%), remat={remat}", file=sys.stderr)
+    del state
+    return {
+        "step": name,
+        "preset": preset,
+        "imgs_per_sec": round(imgs, 2),
+        "vs_matmul_sol": round(imgs / sol, 4),
+        "remat": str(remat),
+    }
+
+
+def _train_env_config(preset: str):
+    """Shared BENCH_REMAT / BENCH_UNROLL parsing. Defaults are the
+    fastest measured v5e config (PERF.md): no remat + unrolled depth
+    loop for vtp-base; larger presets need a checkpoint policy (VTP-L
+    no-remat OOMs v5e HBM)."""
+    default_remat = "off" if preset == "vtp-base" else "attn"
+    remat_env = os.environ.get("BENCH_REMAT", default_remat)
+    remat = {"0": False, "off": False, "1": True, "full": True}.get(
+        remat_env, remat_env)
+    # "0" = lax.scan, "1" = full unroll, k>1 = k-layer chunked scan
+    unroll_env = os.environ.get("BENCH_UNROLL", "1")
+    unroll = {"0": False, "1": True}.get(unroll_env, None)
+    if unroll is None:
+        unroll = int(unroll_env)
+    return remat, unroll
+
+
+def bench_train() -> None:
+    """BENCH_MODE=train: train-step throughput (images/sec/chip) on the
+    preset model, synthetic batch. BENCH_SSL=1 adds the full multi-crop
+    DINO/iBOT SSL objective on top of CLIP+rec. BENCH_REMAT selects a
+    remat_wrap policy (off/full/dots/attn/dots_attn), BENCH_UNROLL=0
+    reverts to lax.scan. vs_baseline = fraction of the analytic matmul
+    speed-of-light for the same step+policy (train_sol_imgs_per_sec;
+    partial policies are modeled with their approximate recompute
+    fraction, see _remat_recompute_fraction)."""
+    preset = os.environ.get("BENCH_PRESET", "vtp-base")
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    remat, unroll = _train_env_config(preset)
+    ssl = os.environ.get("BENCH_SSL", "0") == "1"
+
+    r = measure_train(preset=preset, batch=batch, iters=iters, ssl=ssl,
+                      remat=remat, unroll=unroll)
     print(json.dumps({
-        "metric": (f"{preset} 256px {name} train step throughput "
-                   f"(remat={'on' if remat else 'off'}); vs_baseline = fraction "
-                   f"of the analytic bf16 matmul speed-of-light for this step"),
-        "value": round(imgs, 2),
+        "metric": (f"{preset} 256px {r['step']} train step throughput "
+                   f"(remat={r['remat']}); vs_baseline = fraction of the "
+                   f"analytic bf16 matmul speed-of-light for this step+policy"),
+        "value": r["imgs_per_sec"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs / sol, 4),
+        "vs_baseline": r["vs_matmul_sol"],
     }))
 
 
@@ -265,20 +324,6 @@ def main() -> None:
     params["trunk"] = cast_matmul_params(params["trunk"], jnp.bfloat16)
     params = jax.device_put(params)
 
-    # validated default: 3-pass fp32 decode (see module docstring / PERF.md)
-    os.environ.setdefault("VTP_DECODE_PRECISION",
-                          os.environ.get("BENCH_DECODE_PRECISION", "high"))
-
-    def encode(params, image):
-        return get_reconstruction_latents(params, cfg, image, jnp.bfloat16)
-
-    def decode(params, latents):
-        return get_latents_decoded_images(params, cfg, latents, None)
-
-    def roundtrip(params, image):
-        return decode(params, encode(params, image))
-
-    fn = {"roundtrip": roundtrip, "encode": encode, "decode": decode}[mode]
     g = cfg.latent_grid
     if mode == "decode":
         x = jax.random.normal(
@@ -289,56 +334,104 @@ def main() -> None:
             jax.random.key(1), (batch, 3, cfg.image_size, cfg.image_size), jnp.float32
         )
 
-    # Chain iterations through a data dependency so the runtime cannot
-    # dedupe/cache identical dispatches (the axon relay does), and a
-    # single block_until_ready covers the whole chain.
-    def step(params, x, carry):
-        xi = x + (1e-6 * carry).astype(x.dtype)
-        return fn(params, xi)
+    def measure(decode_precision: str) -> float:
+        """Measure ``mode`` throughput at the given fp32-decode matmul
+        precision ('high' = validated 3-pass, 'float32' = reference-exact
+        6-pass). Fresh closures per call so the env-dependent decode path
+        re-traces."""
+        os.environ["VTP_DECODE_PRECISION"] = decode_precision
 
-    # NOTE: through the remote (axon) runtime, block_until_ready returns
-    # before execution completes — only a host fetch synchronizes. The
-    # chain threads each step's output into the next step's input, and a
-    # single scalar fetch at the end waits for the whole chain.
-    jfn = jax.jit(step)
-    tap = jax.jit(lambda o: o.ravel()[0].astype(jnp.float32))
-    zero = jnp.zeros((), jnp.float32)
-    t0 = time.perf_counter()
-    out = jfn(params, x, zero)
-    _ = float(tap(out))
-    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    _ = float(tap(jfn(params, x, zero)))  # warm steady-state
+        def encode(params, image):
+            return get_reconstruction_latents(params, cfg, image, jnp.bfloat16)
 
-    t0 = time.perf_counter()
-    carry = zero
-    for _ in range(iters):
-        out = jfn(params, x, carry)
-        carry = tap(out)
-    _ = float(carry)  # host fetch = real synchronization
-    dt = time.perf_counter() - t0
+        def decode(params, latents):
+            return get_latents_decoded_images(params, cfg, latents, None)
 
-    imgs_per_sec = batch * iters / dt
+        def roundtrip(params, image):
+            return decode(params, encode(params, image))
+
+        fn = {"roundtrip": roundtrip, "encode": encode, "decode": decode}[mode]
+
+        # Chain iterations through a data dependency so the runtime
+        # cannot dedupe/cache identical dispatches (the axon relay
+        # does), and end with a host fetch (block_until_ready is a no-op
+        # through the remote runtime — only a fetch synchronizes).
+        def step(params, x, carry):
+            xi = x + (1e-6 * carry).astype(x.dtype)
+            return fn(params, xi)
+
+        jfn = jax.jit(step)
+        tap = jax.jit(lambda o: o.ravel()[0].astype(jnp.float32))
+        zero = jnp.zeros((), jnp.float32)
+        t0 = time.perf_counter()
+        out = jfn(params, x, zero)
+        _ = float(tap(out))
+        print(f"[bench] dp={decode_precision} compile+first: "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        _ = float(tap(jfn(params, x, zero)))  # warm steady-state
+
+        t0 = time.perf_counter()
+        carry = zero
+        for _ in range(iters):
+            out = jfn(params, x, carry)
+            carry = tap(out)
+        _ = float(carry)  # host fetch = real synchronization
+        dt = time.perf_counter() - t0
+        return batch * iters / dt
+
+    # vs_baseline denominator: analytic SoL of the REFERENCE-EXACT
+    # protocol (encode bf16 at peak + decode 6-pass fp32 emulation)
     sol = speed_of_light_imgs_per_sec(cfg, mode)
     enc, dec = roundtrip_flops(cfg)
-    print(f"[bench] {dt/iters*1e3:.2f} ms/step, {imgs_per_sec:.1f} img/s, "
-          f"SoL {sol:.1f} img/s ({imgs_per_sec/sol*100:.1f}%), "
-          f"flops/img enc {enc/1e9:.1f}G dec {dec/1e9:.1f}G", file=sys.stderr)
 
-    dp = os.environ["VTP_DECODE_PRECISION"]
-    dp_note = (
-        "validated 3-pass fp32 decode, error 38x below protocol bf16 noise floor"
-        if dp == "high" else f"decode precision {dp}"
-    )
-    print(json.dumps({
+    # headline: validated 3-pass decode (PERF.md: output error 38x below
+    # the protocol's own bf16-latent noise floor). Audit trail: the
+    # reference-exact 6-pass number ships in the same JSON.
+    dp_headline = os.environ.get("BENCH_DECODE_PRECISION", "high")
+    imgs_per_sec = measure(dp_headline)
+    print(f"[bench] {mode}: {imgs_per_sec:.1f} img/s, SoL {sol:.1f} img/s "
+          f"({imgs_per_sec/sol*100:.1f}%), flops/img enc {enc/1e9:.1f}G "
+          f"dec {dec/1e9:.1f}G", file=sys.stderr)
+    result = {
         "metric": (
             f"{preset} 256px {mode} throughput (bf16 encode / fp32 decode; "
-            f"{dp_note}); vs_baseline = fraction of the reference-exact "
-            f"6-pass-decode speed-of-light"
+            f"headline value = validated 3-pass fp32 decode, error 38x below "
+            f"the protocol bf16 noise floor; value_exact = reference-exact "
+            f"6-pass fp32 decode); vs_baseline = fraction of the "
+            f"reference-exact 6-pass-decode speed-of-light"
         ),
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(imgs_per_sec / sol, 4),
-    }))
+    }
+    if mode in ("roundtrip", "decode") and dp_headline == "high":
+        exact = measure("float32")
+        result["value_exact"] = round(exact, 2)
+        result["vs_baseline_exact"] = round(exact / sol, 4)
+    elif dp_headline != "high":
+        result["metric"] = result["metric"].replace(
+            "headline value = validated 3-pass fp32 decode, error 38x below "
+            "the protocol bf16 noise floor",
+            f"decode precision {dp_headline}")
+
+    if mode == "roundtrip" and os.environ.get("BENCH_TRAIN", "1") == "1":
+        # train-mode numbers ride along in the same auditable JSON
+        # (compiles amortized by the persistent XLA cache, utils/env)
+        train = []
+        for ssl in (False, True):
+            try:
+                remat, unroll = _train_env_config("vtp-base")
+                train.append(measure_train(
+                    preset="vtp-base", batch=32,
+                    iters=int(os.environ.get("BENCH_TRAIN_ITERS", "10")),
+                    ssl=ssl, remat=remat, unroll=unroll))
+            except Exception as e:  # pragma: no cover - OOM/compile guard
+                print(f"[bench] train ssl={ssl} failed: {e}", file=sys.stderr)
+                train.append({"step": "CLIP+SSL+rec" if ssl else "CLIP+rec",
+                              "error": str(e)[:200]})
+        result["train"] = train
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -19,6 +19,10 @@ if not os.environ.get("VTP_TEST_TPU"):
 
     jax.config.update("jax_platforms", "cpu")
 
+from vtp_tpu.utils.env import enable_compilation_cache
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 

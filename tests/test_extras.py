@@ -160,3 +160,32 @@ def test_scan_unroll_parity():
     assert len(a_col) == len(b_col) == 2
     for ac, bc in zip(a_col, b_col):
         np.testing.assert_allclose(np.asarray(ac[0]), np.asarray(bc[0]), atol=1e-6)
+
+
+def test_scan_chunked_parity():
+    """unroll=k (segment-chunked scan) must match plain lax.scan, with
+    and without stochastic depth (same per-layer keys either way)."""
+    from vtp_tpu.models.blocks import BlockConfig, init_stacked_blocks, scan_blocks
+
+    cfg = BlockConfig(dim=32, num_heads=2, ffn_ratio=2.0, ffn_layer="swiglu",
+                      norm_kind="rmsnorm")
+    depth = 4
+    stacked = init_stacked_blocks(jax.random.key(1), cfg, depth)
+    x = jax.random.normal(jax.random.key(2), (4, 8, 32), jnp.float32)
+
+    a_out, _ = scan_blocks((x,), stacked, cfg, [None], depth=depth)
+    for k in (2, 4):
+        b_out, _ = scan_blocks((x,), stacked, cfg, [None], depth=depth, unroll=k)
+        np.testing.assert_allclose(np.asarray(a_out[0]), np.asarray(b_out[0]),
+                                   atol=1e-6)
+
+    key = jax.random.key(5)
+    d_out, _ = scan_blocks((x,), stacked, cfg, [None], depth=depth,
+                           training=True, drop_ratio=0.5, key=key)
+    c_out, _ = scan_blocks((x,), stacked, cfg, [None], depth=depth,
+                           training=True, drop_ratio=0.5, key=key, unroll=2)
+    np.testing.assert_allclose(np.asarray(d_out[0]), np.asarray(c_out[0]),
+                               atol=1e-6)
+
+    with pytest.raises(ValueError):
+        scan_blocks((x,), stacked, cfg, [None], depth=depth, unroll=3)

@@ -76,6 +76,78 @@ def test_train_step_runs_and_updates():
     assert np.isfinite(float(metrics3["loss/total"]))
 
 
+def test_zero_safe_normalize_values_and_jacobian():
+    """The zero-safe student normalize (dino_head_forward) emits
+    identical VALUES to the torch-faithful eps clamp and a ZERO Jacobian
+    on exactly-zero rows — where the clamp's Jacobian is ~1/eps = 1e12
+    (the iBOT x drop-path grad-norm explosion, VERDICT r2 #1)."""
+    from vtp_tpu.models.dino_head import (
+        DinoHeadConfig, dino_head_forward, init_dino_head_params,
+    )
+
+    cfg = DinoHeadConfig(in_dim=16, out_dim=32, hidden_dim=16, bottleneck_dim=8)
+    params = init_dino_head_params(jax.random.key(0), cfg)
+    x = jax.random.normal(jax.random.key(1), (4, 16))
+    x = x.at[1].set(0.0)  # the fully-dropped sample row
+
+    # zero biases so the MLP maps the zero row to an exactly-zero
+    # bottleneck (matches the reference's zero bias init at train start)
+    params = jax.tree.map(lambda l: jnp.zeros_like(l) if l.ndim == 1 else l, params)
+    params["last_layer"]["g"] = jnp.ones_like(params["last_layer"]["g"])
+
+    f_clamp = lambda q: dino_head_forward(params, cfg, q)
+    f_safe = lambda q: dino_head_forward(params, cfg, q, zero_safe_normalize=True)
+
+    np.testing.assert_allclose(np.asarray(f_clamp(x)), np.asarray(f_safe(x)),
+                               rtol=1e-6, atol=1e-6)
+
+    g_clamp = jax.jacobian(lambda q: f_clamp(q).sum())(x)
+    g_safe = jax.jacobian(lambda q: f_safe(q).sum())(x)
+    # nonzero rows: identical gradients
+    np.testing.assert_allclose(np.asarray(g_safe[0]), np.asarray(g_clamp[0]),
+                               rtol=1e-5, atol=1e-7)
+    # zero row: clamp explodes (~1/eps scale), zero-safe is exactly 0
+    assert float(jnp.abs(g_clamp[1]).max()) > 1e6
+    assert float(jnp.abs(g_safe[1]).max()) == 0.0
+
+
+def test_train_step_grad_norm_bounded_with_drop():
+    """End-to-end: the default train step (zero_safe_normalize=True)
+    keeps the global grad norm bounded under stochastic depth; the
+    torch-faithful clamp blows it up by ~8 orders of magnitude."""
+    state = init_state(jax.random.key(0), TINY, TTINY)
+    batch = make_batch(jax.random.key(1))
+
+    def norm_with(zero_safe):
+        tcfg = TTINY.__class__(**{**TTINY.__dict__, "ssl_drop_rate": 0.5,
+                                  "zero_safe_normalize": zero_safe})
+        step = jax.jit(build_train_step(TINY, tcfg))
+        # scan keys until one triggers a fully-dropped sample (unsafe
+        # mode spikes); with the default key set the first usually does
+        worst = 0.0
+        for i in range(6):
+            _, m = step(state, batch, jax.random.key(100 + i))
+            worst = max(worst, float(m["grad_norm"]))
+        return worst
+
+    unsafe = norm_with(False)
+    safe = norm_with(True)
+    assert unsafe > 1e8, f"expected the clamp pathology to reproduce, got {unsafe:.3g}"
+    assert safe < 1e5, f"zero-safe step still spiking: {safe:.3g}"
+
+
+def test_objective_grad_norms_reported():
+    tcfg = TTINY.__class__(**{**TTINY.__dict__, "ssl_drop_rate": 0.5})
+    step = build_train_step(TINY, tcfg)
+    state = init_state(jax.random.key(0), TINY, tcfg)
+    batch = make_batch(jax.random.key(1))
+    norms = jax.jit(step.objective_grad_norms)(state, batch, jax.random.key(2))
+    assert set(norms) == {"grad_norm/clip", "grad_norm/rec", "grad_norm/dino",
+                          "grad_norm/ibot", "grad_norm/koleo"}
+    for k, v in norms.items():
+        assert np.isfinite(float(v)) and float(v) < 1e5, (k, float(v))
+
+
 def test_train_step_sharded_dp_tp():
     """Full train step under a 4x2 (data, model) mesh — the
     dryrun_multichip path."""

@@ -101,6 +101,7 @@ def test_train_vtp_cli_end_to_end(image_dir, tmp_path):
         "--local_size", "16", "--num_workers", "2",
         "--ckpt_every", "2", "--log_every", "1",
         "--compute_dtype", "fp32", "--no_remat", "--export_hf",
+        "--allow_pseudo_captions",  # vocab 128 < real BPE ids (debug config)
         "--config", _tiny_config_json(tmp_path),
     ]
     train_vtp.main(argv)
@@ -120,7 +121,7 @@ def test_train_vtp_cli_end_to_end(image_dir, tmp_path):
 
 def _tiny_config_json(tmp_path) -> str:
     # vocab 128: the big CLIP vocab dominates tiny-config compile time;
-    # train_vtp falls back to pseudo-captions when BPE ids don't fit
+    # --allow_pseudo_captions opts into pseudo-captions for this case
     cfg = dict(
         image_size=32, vision_patch_size=16, vision_embed_dim=64,
         vision_depth=2, vision_num_heads=2, vision_feature_bottleneck=16,

@@ -20,9 +20,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vtp_tpu.utils.env import apply_jax_platforms_env
+from vtp_tpu.utils.env import bootstrap
 
-apply_jax_platforms_env()
+bootstrap()
 
 
 def main() -> None:

@@ -28,9 +28,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from vtp_tpu.utils.env import apply_jax_platforms_env
+from vtp_tpu.utils.env import bootstrap
 
-apply_jax_platforms_env()
+bootstrap()
 
 
 def parse_args(argv=None):
@@ -61,8 +61,12 @@ def parse_args(argv=None):
     p.add_argument("--no_remat", action="store_true",
                    help="deprecated alias for --remat off")
     p.add_argument("--unroll_layers", action="store_true",
-                   help="unroll the block depth loop (faster backward, "
+                   help="fully unroll the block depth loop (faster backward, "
                         "slower compile)")
+    p.add_argument("--unroll_chunk", type=int, default=0,
+                   help="scan depth/k segments of k unrolled layers: most of "
+                        "the unrolled-backward win at a fraction of its "
+                        "compile cost (PERF.md round 3)")
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--mesh", default=None,
                    help="DATA,MODEL mesh shape (default: all devices on data)")
@@ -72,6 +76,10 @@ def parse_args(argv=None):
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--export_hf", action="store_true",
                    help="also write an HF-style model dir at the end")
+    p.add_argument("--allow_pseudo_captions", action="store_true",
+                   help="tolerate a tokenizer/vocab mismatch (tiny debug "
+                        "configs) by substituting deterministic pseudo-"
+                        "captions instead of raising")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -86,36 +94,56 @@ def _load_config(args):
     return PRESETS[args.preset]()
 
 
-def _class_captions(classes, context_length, vocab_size):
+def _pseudo_captions(n_classes, context_length, vocab_size):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(1, max(vocab_size - 1, 2),
+                        size=(n_classes, context_length))
+    return toks.astype(np.int64)
+
+
+def _class_captions(classes, context_length, vocab_size,
+                    allow_pseudo_captions=False):
     """Tokenize 'a photo of a {c}' once per class; degrades to
-    deterministic pseudo-tokens when the BPE vocab asset is absent."""
+    deterministic pseudo-tokens ONLY when the BPE vocab asset is absent
+    (zero-egress installs) or --allow_pseudo_captions is set (tiny debug
+    vocabs). A silent tokenizer/config vocab mismatch would train CLIP
+    against noise — that case raises."""
     import numpy as np
 
     try:
         from vtp_tpu.tokenizers import get_tokenizer
 
         tok = get_tokenizer(context_length=context_length)
-        texts = [f"a photo of a {c.replace('_', ' ')}" for c in classes]
-        toks = np.asarray(tok(texts))
-        if toks.max() >= vocab_size:
-            raise ValueError(
-                f"BPE ids exceed text_vocab_size={vocab_size} (debug config?)"
-            )
-        return toks
-    except Exception as e:  # vocab asset missing (zero-egress installs)
+    except (FileNotFoundError, OSError, ImportError) as e:
+        # vocab asset missing — the only implicitly-degraded mode
         print(f"[train_vtp] BPE vocab unavailable ({e}); using pseudo-captions")
-        rng = np.random.default_rng(0)
-        toks = rng.integers(1, max(vocab_size - 1, 2),
-                            size=(len(classes), context_length))
-        return toks.astype(np.int64)
+        return _pseudo_captions(len(classes), context_length, vocab_size)
+    texts = [f"a photo of a {c.replace('_', ' ')}" for c in classes]
+    toks = np.asarray(tok(texts))
+    if toks.max() >= vocab_size:
+        if allow_pseudo_captions:
+            print(f"[train_vtp] BPE ids exceed text_vocab_size={vocab_size}; "
+                  "--allow_pseudo_captions set, using pseudo-captions")
+            return _pseudo_captions(len(classes), context_length, vocab_size)
+        raise ValueError(
+            f"BPE token ids (max {toks.max()}) exceed text_vocab_size="
+            f"{vocab_size} — config/tokenizer mismatch; refusing to train "
+            "CLIP against clipped captions (pass --allow_pseudo_captions "
+            "for debug configs)"
+        )
+    return toks
 
 
-def synthetic_batches(args, cfg, n_patches):
+def synthetic_batches(args, cfg, n_patches, start_step=0):
     import numpy as np
 
     from vtp_tpu.data.ssl_crops import make_mask_bookkeeping
 
-    rng = np.random.default_rng(args.seed)
+    # fold the resume step into the seed so a resumed run continues on a
+    # fresh batch/mask stream instead of replaying the first batches
+    rng = np.random.default_rng([args.seed, start_step])
     b = args.batch_size
     S, L = cfg.image_size, args.local_size
     while True:
@@ -132,7 +160,7 @@ def synthetic_batches(args, cfg, n_patches):
         }
 
 
-def folder_batches(args, cfg, n_patches):
+def folder_batches(args, cfg, n_patches, start_step=0):
     import numpy as np
 
     from vtp_tpu.data import DataLoader, ImageFolder, InfiniteSampler
@@ -145,20 +173,24 @@ def folder_batches(args, cfg, n_patches):
 
     folder = ImageFolder(args.data_dir)
     captions = _class_captions(folder.classes, cfg.text_context_length,
-                               cfg.text_vocab_size)
+                               cfg.text_vocab_size,
+                               allow_pseudo_captions=args.allow_pseudo_captions)
     transform = MultiCropTransform(
         global_size=cfg.image_size,
         local_size=args.local_size,
         n_local=args.local_crops,
     )
-    ds = MultiCropDataset(folder, transform, seed=args.seed)
+    # fold the resume step into every stream seed: a resumed run must
+    # continue on fresh samples/augs/masks, not replay the first
+    # start_step batches with identical randomness
+    ds = MultiCropDataset(folder, transform, seed=args.seed + 7919 * start_step)
     loader = DataLoader(
         ds, args.batch_size,
-        sampler=InfiniteSampler(len(ds), seed=args.seed),
+        sampler=InfiniteSampler(len(ds), seed=args.seed + 7919 * start_step),
         num_workers=args.num_workers, drop_last=True,
         collate=collate_multicrop,
     )
-    rng = np.random.default_rng(args.seed + 1)
+    rng = np.random.default_rng([args.seed + 1, start_step])
     for global_crops, local_crops, labels in loader:
         b = labels.shape[0]
         ssl = make_mask_bookkeeping(rng, 2 * b, n_patches, args.mask_ratio)
@@ -212,7 +244,7 @@ def main(argv=None) -> None:
         compute_dtype=None if args.compute_dtype == "fp32" else "bf16",
         remat=(False if (args.no_remat or args.remat == "off")
                else True if args.remat == "full" else args.remat),
-        unroll_layers=args.unroll_layers,
+        unroll_layers=(args.unroll_chunk or args.unroll_layers),
         drop_shards=n_data,
     )
 
@@ -262,8 +294,8 @@ def main(argv=None) -> None:
     step_fn = jax.jit(build_train_step(cfg, tcfg), donate_argnums=(0,))
     n_patches = (cfg.image_size // cfg.vision_patch_size) ** 2
     batches = (synthetic_batches if args.synthetic else folder_batches)(
-        args, cfg, n_patches)
-    key = jax.random.key(args.seed + 2)
+        args, cfg, n_patches, start_step=start_step)
+    key = jax.random.fold_in(jax.random.key(args.seed + 2), start_step)
 
     os.makedirs(args.out, exist_ok=True)
     t0 = time.time()

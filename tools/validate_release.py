@@ -27,9 +27,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from vtp_tpu.utils.env import apply_jax_platforms_env
+from vtp_tpu.utils.env import bootstrap
 
-apply_jax_platforms_env()
+bootstrap()
 
 # reference README.md:164-166
 PUBLISHED = {

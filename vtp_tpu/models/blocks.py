@@ -463,6 +463,13 @@ def scan_blocks(
     unrolled backward on v5e (trunk12 fwd+bwd 40.2 vs 45.9 ms under
     remat="attn"). Compile time grows with depth — prefer it for
     training steps, keep scan for inference.
+
+    ``unroll=k`` (an int chunk size dividing ``depth``) is the middle
+    ground: ``lax.scan`` over ``depth/k`` segments whose body Python-
+    unrolls ``k`` layers — the backward's stacked-grad DUS accumulation
+    amortizes over k layers while compile time stays ~k-layers-sized
+    instead of depth-sized (the full unroll compiles 3-14 min at
+    VTP-B/L depths; see PERF.md round 3 for the Pareto).
     """
     use_drop = training and drop_ratio > 0.0 and key is not None
     layer_keys = (
@@ -487,15 +494,41 @@ def scan_blocks(
         return out, out
 
     take = lambda tree, lo, hi: jax.tree.map(lambda a: a[lo:hi], tree)
+    at = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
 
-    if unroll:
-        at = lambda tree, i: jax.tree.map(lambda a: a[i], tree)
+    chunk = 0
+    if unroll is True or unroll == depth:
+        chunk = depth  # full Python unroll
+    elif isinstance(unroll, int) and unroll > 1:
+        if depth % unroll:
+            raise ValueError(f"unroll chunk {unroll} must divide depth {depth}")
+        chunk = unroll
+
+    if chunk == depth:
         collected = []
         for i in range(depth):
             xs, _ = body(xs, (at(stacked, i), layer_keys[i]))
             if i >= depth - collect_last:
                 collected.append(xs)
         return xs, (collected if collect_last > 0 else None)
+
+    if chunk > 1:
+        if collect_last > 0:
+            raise ValueError("collect_last requires scan or full unroll")
+        n_seg = depth // chunk
+        seg_stacked = jax.tree.map(
+            lambda a: a.reshape(n_seg, chunk, *a.shape[1:]), stacked
+        )
+        seg_keys = layer_keys.reshape(n_seg, chunk, *layer_keys.shape[1:])
+
+        def seg_body(carry, seg):
+            params_c, keys_c = seg
+            for j in range(chunk):
+                carry, _ = body(carry, (at(params_c, j), keys_c[j]))
+            return carry, None
+
+        xs, _ = jax.lax.scan(seg_body, xs, (seg_stacked, seg_keys))
+        return xs, None
 
     if collect_last <= 0:
         xs, _ = jax.lax.scan(body, xs, (stacked, layer_keys))

@@ -58,6 +58,7 @@ def dino_head_forward(
     no_last_layer: bool = False,
     only_last_layer: bool = False,
     compute_dtype=None,
+    zero_safe_normalize: bool = False,
 ) -> jax.Array:
     """MLP -> L2 normalize -> weight-normed projection (dino_head.py:65-89).
 
@@ -65,7 +66,21 @@ def dino_head_forward(
     stored activations/logits are bf16 (the 65536-wide prototype logits
     are the dominant SSL-loss HBM traffic; fp32 doubles it), while the
     L2-normalize runs in fp32. Losses upcast per element (train/losses).
-    Default None keeps the fp32 eval/parity behavior."""
+    Default None keeps the fp32 eval/parity behavior.
+
+    ``zero_safe_normalize``: training-path option. The torch-faithful
+    clamped normalize (``x / max(||x||, eps)``, eps 1e-12) has Jacobian
+    ~1/eps = 1e12 on an exactly-zero row — and zero rows DO occur in
+    training: a sample dropped from every residual branch by stochastic
+    depth leaves its masked patch tokens equal to the zero-initialized
+    ``mask_token`` (reference vtp/models/encoders/vision_transformer.py
+    mask substitution + zero-init head biases), which at init blows the
+    global grad norm to ~1e11 and turns the whole clipped step into a
+    near-no-op (measured; PERF.md round 3). With this flag, exactly-zero
+    rows emit 0 with a ZERO Jacobian — identical VALUES to torch
+    everywhere (a zero row normalizes to 0 either way); only the
+    gradient at the measure-zero point differs. Keep False for
+    eval/parity."""
     if not only_last_layer:
         n = max(cfg.nlayers, 1)
         for i in range(n):
@@ -75,13 +90,18 @@ def dino_head_forward(
         eps = 1e-6 if x.dtype == jnp.float16 else 1e-12
         if compute_dtype is not None:
             x = x.astype(jnp.float32)  # L2 normalize in fp32 (autocast-style)
-        # Gradient-safe L2 normalize: jnp.linalg.norm's VJP at an exactly
-        # zero row is 0/0 = NaN (zero rows occur when drop-path skips a
-        # sample whose masked tokens are the zero-initialized mask_token).
-        # torch F.normalize(eps=...) is finite there; match that.
         sq = jnp.sum(x * x, axis=-1, keepdims=True)
-        norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
-        x = x / jnp.maximum(norm, eps)
+        if zero_safe_normalize:
+            # zero Jacobian on (near-)zero rows: both where-branches are
+            # constant in x there, so no 1/eps factor ever enters the VJP
+            is_zero = sq <= eps * eps
+            x = jnp.where(is_zero, 0.0, x) / jnp.sqrt(jnp.where(is_zero, 1.0, sq))
+        else:
+            # Gradient-safe form of torch F.normalize: jnp.linalg.norm's
+            # VJP at an exactly-zero row is 0/0 = NaN; the clamped sqrt
+            # is finite there (but its Jacobian is 1/eps — see above).
+            norm = jnp.sqrt(jnp.maximum(sq, eps * eps))
+            x = x / jnp.maximum(norm, eps)
         if compute_dtype is not None:
             x = x.astype(compute_dtype)
     if not no_last_layer:

@@ -36,6 +36,27 @@ BLOCK_R = 256
 BLOCK_C = 2048
 
 
+def _active_mesh():
+    """The ambient nontrivial mesh at trace time (``jax.set_mesh``), or
+    None. ``pallas_call`` has no SPMD partitioning rule, so under a
+    multi-device mesh the kernel must run inside ``jax.shard_map`` over
+    the (independent) row axis — otherwise XLA replicates the full
+    (R, 65536) logits on every device, defeating the kernel's purpose."""
+    try:
+        m = jax.sharding.get_abstract_mesh()
+    except Exception:  # pragma: no cover - very old jax
+        return None
+    if m is None or m.empty or m.size == 1:
+        return None
+    return m
+
+
+def _mesh_row_shards(mesh) -> int:
+    from vtp_tpu.parallel.mesh import DATA_AXIS
+
+    return dict(mesh.shape).get(DATA_AXIS, 1)
+
+
 def fused_ce_supported(t: jax.Array, s: jax.Array) -> bool:
     if os.environ.get("VTP_DISABLE_FUSED_CE"):
         return False
@@ -44,7 +65,41 @@ def fused_ce_supported(t: jax.Array, s: jax.Array) -> bool:
     if t.ndim != 2 or t.shape != s.shape:
         return False
     R, C = t.shape
-    return R % 8 == 0 and C % BLOCK_C == 0
+    if R % 8 or C % BLOCK_C:
+        return False
+    mesh = _active_mesh()
+    if mesh is not None:
+        # need a clean row split over the data axis (rows independent);
+        # any other mesh layout falls back to the XLA path, which GSPMD
+        # shards correctly.
+        n = _mesh_row_shards(mesh)
+        if n > 1 and (R % n or (R // n) % 8):
+            return False
+    return True
+
+
+def fused_ce_rows_auto(t: jax.Array, s: jax.Array, center: jax.Array,
+                       t_temp: float, s_temp: float) -> jax.Array:
+    """`fused_ce_rows`, mesh-aware: under a multi-device mesh the kernel
+    runs per-shard via ``jax.shard_map`` over the row (data) axis so the
+    (R, 65536) logits are never replicated. Callers must have checked
+    :func:`fused_ce_supported` first."""
+    mesh = _active_mesh()
+    if mesh is None or _mesh_row_shards(mesh) == 1:
+        return fused_ce_rows(t, s, center, t_temp, s_temp)
+    from jax.sharding import PartitionSpec as P
+
+    from vtp_tpu.parallel.mesh import DATA_AXIS
+
+    fn = functools.partial(fused_ce_rows, t_temp=t_temp, s_temp=s_temp)
+    return jax.shard_map(
+        lambda t_, s_, c_: fn(t_, s_, c_),
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None), P(None)),
+        out_specs=P(DATA_AXIS),
+        # pallas_call's out ShapeDtypeStruct carries no vma annotation
+        check_vma=False,
+    )(t, s, center)
 
 
 # ------------------------------------------------------------------ fwd
@@ -97,7 +152,10 @@ def _run_fwd(t, s, center, t_temp: float, s_temp: float, save_stats: bool):
     from jax.experimental.pallas import tpu as pltpu
 
     R, C = t.shape
-    bR = min(BLOCK_R, R) if R % min(BLOCK_R, R) == 0 else R
+    # same halving rule as _run_bwd: start at BLOCK_R and halve until it
+    # divides R (R % 8 == 0 guarantees termination at bR >= 8) — never
+    # fall back to bR = R, which overflows VMEM for large non-divisible R
+    bR = min(BLOCK_R, R)
     while R % bR:
         bR //= 2
     n_cblocks = C // BLOCK_C

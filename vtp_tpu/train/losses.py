@@ -59,10 +59,10 @@ def dino_loss(
     """DINO cross-entropy: centered+sharpened teacher targets vs
     student log-softmax. teacher side is stop-gradient by construction
     (teacher params are EMA copies)."""
-    from vtp_tpu.ops.fused_ce import fused_ce_rows, fused_ce_supported
+    from vtp_tpu.ops.fused_ce import fused_ce_rows_auto, fused_ce_supported
 
     if fused_ce_supported(teacher_logits, student_logits):
-        per_row = fused_ce_rows(teacher_logits, student_logits,
+        per_row = fused_ce_rows_auto(teacher_logits, student_logits,
                                 center.astype(jnp.float32),
                                 teacher_temp, student_temp)
         return per_row.mean()
@@ -84,10 +84,10 @@ def ibot_loss(
     """Masked-patch DINO loss on the iBOT buffer (vtp.py:428-448 wires
     the masked tokens; the ``upperbound`` static buffer maps directly to
     XLA's static shapes — padded rows get zero weight)."""
-    from vtp_tpu.ops.fused_ce import fused_ce_rows, fused_ce_supported
+    from vtp_tpu.ops.fused_ce import fused_ce_rows_auto, fused_ce_supported
 
     if fused_ce_supported(teacher_patch_logits, student_patch_logits):
-        per_token = fused_ce_rows(teacher_patch_logits, student_patch_logits,
+        per_token = fused_ce_rows_auto(teacher_patch_logits, student_patch_logits,
                                   center.astype(jnp.float32),
                                   teacher_temp, student_temp)
     else:

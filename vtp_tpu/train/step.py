@@ -87,6 +87,11 @@ class TrainConfig:
     warmup_steps: int = 1000
     total_steps: int = 100_000
     grad_clip: float = 1.0
+    # zero-Jacobian L2-normalize on exactly-zero student head rows
+    # (drop-path x mask_token pathology; see dino_head_forward). Values
+    # are identical to the torch-faithful clamp — only the gradient at
+    # the measure-zero point differs. Off = torch-faithful everywhere.
+    zero_safe_normalize: bool = True
     # precision
     compute_dtype: Optional[str] = "bf16"
     # memory: rematerialize blocks in backward (jax.checkpoint).
@@ -95,8 +100,10 @@ class TrainConfig:
     remat: Union[bool, str] = True
     # unroll the block depth loop in train forwards (faster backward on
     # v5e: the scan transpose's stacked-grad DUS accumulation costs
-    # 20-25%; compile time grows with depth)
-    unroll_layers: bool = False
+    # 20-25%; compile time grows with depth). True = full unroll; an int
+    # k scans depth/k segments of k Python-unrolled layers (most of the
+    # backward win at a fraction of the compile cost — PERF.md round 3)
+    unroll_layers: Union[bool, int] = False
     # parallelism (drop-path shard count, = data-axis size)
     drop_shards: int = 1
 
@@ -284,11 +291,21 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
         )
         s_g_cls = s_global["x_norm_clstoken"]
         s_l_cls = s_local["x_norm_clstoken"]
-        s_g_head = dino_head_forward(params["dino_head"], hcfg, s_g_cls, compute_dtype=cdt)
-        s_l_head = dino_head_forward(params["dino_head"], hcfg, s_l_cls, compute_dtype=cdt)
+        # student heads use the zero-safe normalize: with ssl_drop_rate>0
+        # a fully-dropped sample's masked tokens equal the zero-init
+        # mask_token, and the torch-faithful eps-clamped normalize has a
+        # ~1/eps=1e12 Jacobian on those exactly-zero rows — one such row
+        # blows the global grad norm to ~1e11 and the clipped update to a
+        # near-no-op (values are identical; see dino_head_forward)
+        head = lambda x: dino_head_forward(
+            params["dino_head"], hcfg, x, compute_dtype=cdt,
+            zero_safe_normalize=tcfg.zero_safe_normalize,
+        )
+        s_g_head = head(s_g_cls)
+        s_l_head = head(s_l_cls)
         s_patch_flat = s_global["x_norm_patchtokens"].reshape(-1, s_g_cls.shape[-1])
         s_masked = jnp.take(s_patch_flat, ssl["mask_indices"], axis=0)
-        s_masked_head = dino_head_forward(params["dino_head"], hcfg, s_masked, compute_dtype=cdt)
+        s_masked_head = head(s_masked)
 
         l_dino_g = dino_loss(
             s_g_head, t_cls_head, dino_center,
@@ -368,4 +385,37 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    def objective_grad_norms(state: TrainState, batch: Dict[str, Any], key: jax.Array):
+        """Per-objective global grad norms (one backward pass per
+        objective — a debug/dryrun diagnostic, not a hot-path metric).
+        Surfaces pathologies the combined ``grad_norm`` hides, e.g. the
+        iBOT x drop-path zero-row normalize spike (PERF.md round 3)."""
+        k_clip, k_rec, k_ssl = jax.random.split(key, 3)
+        p = state["params"]
+        norms = {}
+        if tcfg.train_clip and "image" in batch:
+            g = jax.grad(
+                lambda q: clip_branch(q, batch["image"], batch["text"], k_clip)
+            )(p)
+            norms["grad_norm/clip"] = optax.global_norm(g)
+        if tcfg.train_reconstruction and "rec_image" in batch:
+            g = jax.grad(lambda q: rec_branch(q, batch["rec_image"], k_rec))(p)
+            norms["grad_norm/rec"] = optax.global_norm(g)
+        if tcfg.train_ssl and "ssl" in batch:
+            def part(i):
+                def f(q):
+                    l_dino, l_ibot, l_koleo, _ = ssl_branch(
+                        q, state["teacher"],
+                        (state["dino_center"], state["ibot_center"]),
+                        batch["ssl"], k_ssl,
+                    )
+                    return (l_dino, l_ibot, l_koleo)[i]
+                return optax.global_norm(jax.grad(f)(p))
+
+            norms["grad_norm/dino"] = part(0)
+            norms["grad_norm/ibot"] = part(1)
+            norms["grad_norm/koleo"] = part(2)
+        return norms
+
+    train_step.objective_grad_norms = objective_grad_norms
     return train_step
