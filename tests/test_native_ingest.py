@@ -68,16 +68,21 @@ def _pil_reference(path, target, mode, aux=0, flip=False):
 
 @pytest.mark.parametrize("mode,aux", [(MODE_ADM_CROP, 0), (MODE_NAIVE_RESIZE, 0), (MODE_RESIZE_CROP, 120)])
 def test_matches_pil(images, mode, aux):
+    """Per-pixel LSB error histogram vs PIL (measured 2026-08-17 across
+    all three modes: >= 99.66% of pixels bit-exact, max error exactly
+    1 uint8 LSB — the per-stage rounding tie cases)."""
     target = 96
     got = ingest_batch(images, target, mode=mode, aux=aux)
     assert got.shape == (len(images), 3, target, target)
+    std = np.asarray(IMAGENET_STD, np.float32).reshape(3, 1, 1)
+    errs = []
     for i, p in enumerate(images):
         want = _pil_reference(p, target, mode, aux)
-        # per-stage rounding may differ by 1 uint8 LSB; normalized units
-        diff = np.abs(got[i] - want)
-        lsb = 1.0 / 255.0 / np.asarray(IMAGENET_STD, np.float32).reshape(3, 1, 1)
-        frac_off = float((diff > 1.5 * lsb).mean())
-        assert frac_off < 0.02, (p, mode, frac_off, float(diff.max()))
+        errs.append(np.abs(got[i] - want) * std * 255.0)  # uint8 LSB units
+    e = np.stack(errs)
+    exact = float((e <= 0.5).mean())
+    assert e.max() <= 1.0 + 1e-4, (mode, float(e.max()))  # never > 1 LSB
+    assert exact >= 0.99, (mode, exact)  # >= 99% bit-exact
 
 
 def test_flip(images):
