@@ -82,6 +82,26 @@ def main(argv=None) -> None:
         if k not in payloads:
             raise SystemExit(f"unknown client kind {k}")
 
+    # host<->device transfer floor: image serving intrinsically moves
+    # the request/response bytes; through the remote (axon) tunnel that
+    # link — not the dispatcher — can be the wall. Report it so the
+    # latency numbers are interpretable (on a local PCIe/ICI host this
+    # floor is negligible).
+    import jax.numpy as jnp2  # noqa: F401
+
+    probe = np.zeros((args.batch_size, 3, s, s), np.float32)  # ~25 MB
+    t0 = time.perf_counter()
+    n_probe = 3
+    for _ in range(n_probe):
+        dev = jax.device_put(probe)
+        _ = np.asarray(dev)
+    rt = (time.perf_counter() - t0) / n_probe
+    mb = probe.nbytes / 1e6
+    print(f"[serve-bench] transfer floor: {mb:.0f} MB up+down in {rt*1e3:.0f} ms "
+          f"({2 * mb / rt:.0f} MB/s)", file=sys.stderr)
+    transfer = {"mb_each_way": round(mb, 1), "roundtrip_ms": round(rt * 1e3, 1),
+                "mb_per_sec": round(2 * mb / rt, 1)}
+
     # per-kind executable warmup through the server (compiles happen
     # here, not inside the measured window)
     for k in kinds:
@@ -137,6 +157,7 @@ def main(argv=None) -> None:
         "unit": "rows/sec/chip",
         "vs_baseline": None,
         "kinds": stats,
+        "host_device_transfer_floor": transfer,
     }))
 
 

@@ -166,18 +166,25 @@ class VTPServer:
             payloads = [r.payload for r in batch]
             stacked = np.concatenate(payloads, axis=0)
             n = stacked.shape[0]
-            # pad to the fixed batch shape -> cached executable
-            pad = (-n) % self.batch_size
-            if pad:
-                stacked = np.concatenate(
-                    [stacked, np.repeat(stacked[-1:], pad, axis=0)], axis=0
-                )
             try:
                 outs = []
-                for s in range(0, stacked.shape[0], self.batch_size):
-                    out = self._fns[kind](jnp.asarray(stacked[s : s + self.batch_size]))
-                    outs.append(np.asarray(out))
-                result = np.concatenate(outs, axis=0)[:n]
+                for s in range(0, n, self.batch_size):
+                    chunk = stacked[s : s + self.batch_size]
+                    k = chunk.shape[0]
+                    dev = jnp.asarray(chunk)
+                    if k < self.batch_size:
+                        # pad to the fixed batch shape ON DEVICE and
+                        # fetch only the valid rows: the host<->device
+                        # link (25 MB/batch for 256px images; an 11 MB/s
+                        # straw through the remote tunnel) must never
+                        # carry padding bytes. The tiny pad op compiles
+                        # once per distinct k <= batch_size.
+                        dev = jnp.concatenate(
+                            [dev, jnp.repeat(dev[-1:], self.batch_size - k, axis=0)]
+                        )
+                    out = self._fns[kind](dev)
+                    outs.append(np.asarray(out[:k]))
+                result = np.concatenate(outs, axis=0)
             except Exception as e:  # pragma: no cover
                 for r in batch:
                     r.future.set_exception(e)
