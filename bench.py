@@ -416,7 +416,14 @@ def main() -> None:
 
     if mode == "roundtrip" and os.environ.get("BENCH_TRAIN", "1") == "1":
         # train-mode numbers ride along in the same auditable JSON
-        # (compiles amortized by the persistent XLA cache, utils/env)
+        # (compiles amortized by the persistent XLA cache, utils/env).
+        # Free the roundtrip model's device buffers first: the SSL train
+        # step needs nearly all of HBM (round-2b: no-remat fits at batch
+        # 32 with ~0.5 GB to spare) and OOMs if the VTP-L params linger.
+        del params, x
+        import gc
+
+        gc.collect()
         train = []
         for ssl in (False, True):
             try:

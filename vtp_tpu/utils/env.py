@@ -60,9 +60,11 @@ def enable_compilation_cache() -> None:
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # Anything that takes >= 2 s to compile is worth persisting; the
-        # unrolled train steps this exists for take minutes.
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        # Persist anything non-trivial: through the axon tunnel even the
+        # ~0.35 s helper jits (broadcast_in_dim/threefry/...) recur ~90x
+        # per process = ~30 s of avoidable compile per invocation; the
+        # unrolled train steps this cache exists for take minutes.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:  # pragma: no cover - never block startup on cache
         pass
