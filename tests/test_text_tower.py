@@ -172,3 +172,23 @@ def test_update_center_masks_padding():
     got = update_center(center, logits, 0.9, weight=w)
     want = 0.1 * np.asarray(logits)[:3].mean(0)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-6)
+
+
+def test_text_encode_unroll_matches_scan(rng):
+    """unroll=True (train-perf path, PERF.md round 3) must match the
+    scan path to XLA refusion noise in forward and backward."""
+    _, cfg, params = _pair(embed_cls=True)
+    text = jnp.asarray(_text(rng))
+    a = text_encode(params, cfg, text)
+    b = text_encode(params, cfg, text, unroll=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, unroll):
+        return (text_encode(p, cfg, text, unroll=unroll) ** 2).sum()
+
+    g_scan = jax.grad(loss)(params, False)
+    g_unroll = jax.grad(loss)(params, True)
+    for ga, gb in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_unroll)):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   rtol=5e-3, atol=1e-4)

@@ -13,11 +13,12 @@ mask). Depth is scanned over stacked params like the vision towers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
 
+from vtp_tpu.models.blocks import remat_wrap
 from vtp_tpu.models.initializers import normal
 from vtp_tpu.ops.activations import ACT
 from vtp_tpu.ops.attention import sdpa
@@ -333,6 +334,8 @@ def text_encode(
     *,
     normalize: bool = False,
     compute_dtype: Optional[jnp.dtype] = None,
+    remat: Union[bool, str] = False,
+    unroll: bool = False,
 ) -> jax.Array:
     """Token IDs (B, L) -> pooled, projected text features
     (modeling_vtp.py:295-310, text_transformer.py:429-452). When
@@ -340,13 +343,26 @@ def text_encode(
     tokens are the (unprojected) sequence features.
 
     Embedding lookups are not autocast ops in torch — the residual
-    stream stays fp32; each linear casts to compute_dtype internally."""
+    stream stays fp32; each linear casts to compute_dtype internally.
+
+    ``unroll=True`` replaces the ``lax.scan`` depth loop with a Python
+    loop, same trade as ``scan_blocks(unroll=True)``: the scan transpose
+    saves the fp32 residual stream into stacked (depth, B, L, width)
+    buffers and accumulates weight grads via dynamic-update-slice —
+    ~19.6 ms/step of a VTP-B SSL train step vs a ~6.4 ms matmul floor
+    in the round-3 trace — while the unrolled backward schedules freely.
+    ``remat`` applies remat_wrap per layer (compile-time/memory knob)."""
     x, mask, is_causal = _text_embeds(params, cfg, text)
 
     def body(carry, p):
         return _text_block(carry, p, cfg, mask, compute_dtype, is_causal), None
 
-    x, _ = jax.lax.scan(body, x, params["blocks"])
+    body = remat_wrap(body, remat)
+    if unroll is True or unroll == cfg.layers:
+        for i in range(cfg.layers):
+            x, _ = body(x, jax.tree.map(lambda a: a[i], params["blocks"]))
+    else:
+        x, _ = jax.lax.scan(body, x, params["blocks"])
     pooled, tokens = _pool_project(params, cfg, x, text, compute_dtype, want_tokens=True)
     if normalize:
         # torch F.normalize clamps the norm at eps=1e-12

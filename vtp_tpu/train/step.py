@@ -235,7 +235,8 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
             else out["x_norm_patchtokens"].mean(axis=1)
         )
         img = l2_normalize(linear(feat, params["visual_proj"], cdt))
-        t_out = text_encode(params["text"], txtcfg, text, compute_dtype=cdt)
+        t_out = text_encode(params["text"], txtcfg, text, compute_dtype=cdt,
+                            remat=tcfg.remat, unroll=tcfg.unroll_layers)
         txt = l2_normalize(t_out[0] if isinstance(t_out, tuple) else t_out)
         if params.get("logit_bias") is not None:
             return siglip_loss(img, txt, params["logit_scale"], params["logit_bias"])

@@ -200,3 +200,54 @@ def op_summary(
 
 def line_names(planes: List[XPlane]) -> List[Tuple[str, str, int]]:
     return [(p.name, ln.name, len(ln.events)) for p in planes for ln in p.lines]
+
+
+def exclusive_op_summary(
+    planes: List[XPlane],
+    top: Optional[int] = None,
+    line_filter: Optional[str] = "XLA Ops",
+) -> List[dict]:
+    """Aggregate device time by op name with nested children subtracted.
+
+    ``op_summary`` double-counts control flow: a ``while`` event's
+    duration includes every body op, and the body ops also appear as
+    their own (nested) events on the same line. This walks each line's
+    events as an interval forest (events sorted by start; an event is a
+    child of the innermost still-open interval that contains it) and
+    charges each op only its exclusive time.
+
+    Unlike ``op_summary``, ``line_filter`` here is an EXACT line-name
+    match: the default "XLA Ops" must not also sweep in the separate
+    "Async XLA Ops" line, whose DMA windows overlap compute and would
+    otherwise double-count the accounted time.
+    """
+    acc: Dict[str, Tuple[float, int]] = {}
+    for plane in device_planes(planes):
+        for line in plane.lines:
+            if line_filter and line_filter != line.name:
+                continue
+            evs = sorted(line.events, key=lambda e: (e.offset_ps, -e.duration_ps))
+            stack: List[Tuple[int, int, str, int]] = []  # (start, end, name, child_ps)
+
+            def _pop(upto_ps: int) -> None:
+                while stack and stack[-1][1] <= upto_ps:
+                    s, e, name, child = stack.pop()
+                    excl = max(e - s - child, 0)
+                    if stack:
+                        s2, e2, n2, c2 = stack[-1]
+                        stack[-1] = (s2, e2, n2, c2 + (e - s))
+                    t, c = acc.get(name, (0.0, 0))
+                    acc[name] = (t + excl / 1e9, c + 1)
+
+            for ev in evs:
+                name = plane.event_metadata.get(ev.metadata_id, f"#{ev.metadata_id}")
+                start, end = ev.offset_ps, ev.offset_ps + ev.duration_ps
+                _pop(start)
+                stack.append((start, end, name, 0))
+            _pop(1 << 62)
+    rows = [
+        {"name": k, "total_ms": t, "count": c, "mean_us": (t * 1e3 / max(c, 1))}
+        for k, (t, c) in acc.items()
+    ]
+    rows.sort(key=lambda r: -r["total_ms"])
+    return rows[:top] if top else rows
