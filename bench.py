@@ -322,6 +322,14 @@ def main() -> None:
     params = init_vtp_params(jax.random.key(0), cfg)
     # encode weights in bf16 (== autocast rounding), decoder stays fp32
     params["trunk"] = cast_matmul_params(params["trunk"], jnp.bfloat16)
+    int8 = mode == "encode" and os.environ.get("BENCH_INT8") == "1"
+    if int8:
+        # serving option, NOT the parity protocol: W8A8 int8 encoder
+        # (utils/quantization; measured +38% over bf16 encode on v5e,
+        # latent err 2.6x the bf16 noise floor — PERF.md round 3)
+        from vtp_tpu.utils.quantization import quantize_matmul_params
+
+        params["trunk"] = quantize_matmul_params(params["trunk"])
     params = jax.device_put(params)
 
     g = cfg.latent_grid
@@ -413,6 +421,10 @@ def main() -> None:
             "headline value = validated 3-pass fp32 decode, error 38x below "
             "the protocol bf16 noise floor",
             f"decode precision {dp_headline}")
+    if int8:
+        result["metric"] = result["metric"].replace(
+            "bf16 encode",
+            "int8 W8A8 encode (serving option, not the parity protocol)")
 
     if mode == "roundtrip" and os.environ.get("BENCH_TRAIN", "1") == "1":
         # train-mode numbers ride along in the same auditable JSON

@@ -1,61 +1,105 @@
-"""Int8 quantization path + misc utils."""
+"""Int8 serving quantization (utils/quantization + the ops.ffn.linear
+dispatch). Quality protocol stays fp32/bf16; these tests pin the
+quantizer's error bounds and that the quantized tree drops into the
+standard forwards unchanged."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
 
-from vtp_tpu.utils.misc import as_jax_dtype, cat_keep_shapes, uncat_with_shapes
-from vtp_tpu.utils.quantization import int8_linear, quantize_kernel, quantize_matmul_params
+from vtp_tpu.config import VTPConfig
+from vtp_tpu.models.vtp_model import VTPModel
+from vtp_tpu.ops.ffn import linear
+from vtp_tpu.utils.quantization import (
+    int8_linear,
+    quantize_kernel,
+    quantize_matmul_params,
+)
 
 
-def test_int8_linear_close_to_fp(rng):
-    k = rng.standard_normal((64, 32)).astype(np.float32) * 0.05
-    b = rng.standard_normal(32).astype(np.float32) * 0.01
-    x = rng.standard_normal((8, 64)).astype(np.float32)
-    want = x @ k + b
-    qk = quantize_kernel(jnp.asarray(k))
-    got = np.asarray(int8_linear(jnp.asarray(x), qk, jnp.asarray(b)))
-    rel = np.abs(got - want).max() / np.abs(want).max()
-    assert rel < 0.03, rel  # ~1% typical for int8 per-channel
+def _tiny_cfg():
+    return VTPConfig(
+        image_size=32, vision_patch_size=16, vision_embed_dim=64,
+        vision_depth=2, vision_num_heads=2, vision_feature_bottleneck=16,
+        text_context_length=12, text_vocab_size=128, text_embed_dim=64,
+        text_num_heads=2, text_depth=2, decoder_embed_dim=64,
+        decoder_num_heads=2, decoder_depth=2,
+    )
 
 
-def test_quantize_tree(rng):
-    tree = {"mlp": {"fc1": {"kernel": jnp.asarray(rng.standard_normal((8, 4)), jnp.float32),
-                            "bias": jnp.zeros(4)},
-                    "scale_only": {"scale": jnp.ones(4)}}}
-    q = quantize_matmul_params(tree)
-    assert q["mlp"]["fc1"]["q"].dtype == jnp.int8
-    assert "scale" in q["mlp"]["fc1"]
-    assert "scale" in q["mlp"]["scale_only"]  # non-linear leaves untouched
+def test_quantize_kernel_error_bound():
+    k = jax.random.normal(jax.random.key(0), (96, 64)) * 0.07
+    qk = quantize_kernel(k)
+    deq = qk["q"].astype(jnp.float32) * qk["scale"][None, :]
+    # symmetric round-to-nearest: per-element error <= scale/2
+    err = jnp.abs(deq - k)
+    assert float(jnp.max(err - qk["scale"][None, :] / 2)) <= 1e-7
 
 
-def test_dtype_map():
-    assert as_jax_dtype("bf16") == jnp.bfloat16
-    assert as_jax_dtype(np.float32) == jnp.float32
-    assert as_jax_dtype("int8") == jnp.int8
+def test_quantize_kernel_stacked_matches_per_layer():
+    """Leading (depth) axes quantize per layer: slicing layer i off the
+    stacked result equals quantizing layer i alone (the property the
+    scan/unroll block params rely on)."""
+    k = jax.random.normal(jax.random.key(1), (3, 32, 16))
+    stacked = quantize_kernel(k)
+    for i in range(3):
+        single = quantize_kernel(k[i])
+        np.testing.assert_array_equal(np.asarray(stacked["q"][i]),
+                                      np.asarray(single["q"]))
+        np.testing.assert_allclose(np.asarray(stacked["scale"][i]),
+                                   np.asarray(single["scale"]), rtol=1e-7)
 
 
-def test_cat_uncat(rng):
-    xs = [jnp.asarray(rng.standard_normal((2, 3, 4))), jnp.asarray(rng.standard_normal((5, 4)))]
-    flat, shapes, nt = cat_keep_shapes(xs)
-    assert flat.shape == (11, 4)
-    back = uncat_with_shapes(flat, shapes, nt)
-    for a, b in zip(xs, back):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+def test_int8_linear_close_to_fp():
+    x = jax.random.normal(jax.random.key(2), (17, 96))
+    k = jax.random.normal(jax.random.key(3), (96, 64)) * 0.05
+    b = jax.random.normal(jax.random.key(4), (64,)) * 0.01
+    ref = x @ k + b
+    got = int8_linear(x, quantize_kernel(k), b)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
 
 
-def test_resolution_buckets(rng):
-    from vtp_tpu.utils.buckets import pick_bucket, snap_to_bucket
+def test_linear_dispatches_on_quantized_params():
+    x = jax.random.normal(jax.random.key(5), (4, 7, 32))
+    p = {"kernel": jax.random.normal(jax.random.key(6), (32, 24)) * 0.1,
+         "bias": jnp.zeros((24,))}
+    ref = linear(x, p, jnp.float32)
+    qp = quantize_matmul_params(p)
+    assert set(qp) == {"q", "scale", "bias"}
+    got = linear(x, qp, jnp.float32)
+    assert got.dtype == jnp.float32 and got.shape == ref.shape
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 0.02, rel
 
-    assert pick_bucket(200) == 224
-    assert pick_bucket(256) == 256
-    assert pick_bucket(1000) == 512
-    x = rng.standard_normal((2, 3, 200, 300)).astype(np.float32)
-    out, (h, w) = snap_to_bucket(x)
-    assert out.shape == (2, 3, 384, 384) and (h, w) == (200, 300)
-    # content preserved at the center
-    np.testing.assert_array_equal(out[:, :, 92:292, 42:342], x)
-    big = rng.standard_normal((1, 3, 600, 600)).astype(np.float32)
-    out2, _ = snap_to_bucket(big)
-    assert out2.shape == (1, 3, 512, 512)
+
+def test_quantized_model_end_to_end():
+    """quantize_for_serving drops into every encode/CLIP method; outputs
+    stay close to the fp path at tiny scale."""
+    model = VTPModel.init(jax.random.key(0), _tiny_cfg(),
+                          encode_dtype=jnp.float32)
+    qmodel = model.quantize_for_serving()
+
+    img = jax.random.normal(jax.random.key(7), (2, 3, 32, 32))
+    txt = jax.random.randint(jax.random.key(8), (2, 12), 1, 120)
+
+    lat = model.get_reconstruction_latents(img)
+    qlat = qmodel.get_reconstruction_latents(img)
+    assert qlat.shape == lat.shape
+    a, b = np.asarray(lat, np.float32).ravel(), np.asarray(qlat, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+    assert cos > 0.99, cos
+
+    f = np.asarray(model.get_clip_text_feature(txt), np.float32)
+    qf = np.asarray(qmodel.get_clip_text_feature(txt), np.float32)
+    cos = float((f.ravel() @ qf.ravel())
+                / (np.linalg.norm(f) * np.linalg.norm(qf) + 1e-12))
+    assert cos > 0.99, cos
+
+    # decoder must stay fp (the quality protocol) and be refused
+    with pytest.raises(ValueError):
+        model.quantize_for_serving(parts=("pixel_decoder",))
+    rec = qmodel.get_latents_decoded_images(qlat)
+    assert rec.dtype == jnp.float32

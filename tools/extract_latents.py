@@ -42,6 +42,10 @@ def main() -> None:
     p.add_argument("--num_shards", type=int, default=1, help="number of hosts")
     p.add_argument("--shard_size", type=int, default=10000)
     p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 W8A8 encoder (utils/quantization): ~2x MXU "
+                        "dot rate on v5e; latent quality shifts slightly "
+                        "(see PERF.md round 3)")
     args = p.parse_args()
 
     import numpy as np
@@ -60,7 +64,7 @@ def main() -> None:
         print(f"sharding batches over {jax.device_count()} devices")
     tokenizer = VTPTokenizer.from_checkpoint(
         args.model_path, img_size=args.image_size, normalize_type=args.normalize_type,
-        data_sharding=sharding,
+        data_sharding=sharding, quantize_int8=args.int8,
     )
     model_name = os.path.basename(args.model_path.rstrip("/"))
     output_dir = os.path.join(

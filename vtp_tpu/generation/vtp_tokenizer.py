@@ -44,9 +44,17 @@ class VTPTokenizer:
         normalize_type: str = "imagenet",
         compute_dtype=jnp.bfloat16,
         data_sharding=None,  # optional NamedSharding for batch DP
+        quantize_int8: bool = False,
     ):
         self.data_sharding = data_sharding
         self.config = config
+        if quantize_int8:
+            # int8 W8A8 encoder for bulk extraction (utils/quantization);
+            # the decode path (rFID protocol) always stays fp32.
+            from vtp_tpu.utils.quantization import quantize_matmul_params
+
+            params = dict(params)
+            params["trunk"] = quantize_matmul_params(params["trunk"])
         self.params = params
         self.img_size = img_size
         self.normalize_type = normalize_type

@@ -28,6 +28,15 @@ def ffn_align_to(ffn_layer: str) -> int:
 
 
 def _linear(x: jax.Array, p: dict, compute_dtype: Optional[jnp.dtype]) -> jax.Array:
+    if "q" in p:
+        # int8-quantized kernel (utils/quantization.quantize_matmul_params):
+        # dynamic per-row activation quant + int8 MXU matmul. Every forward
+        # that reaches a linear through this function runs quantized when
+        # handed a quantized param tree — no separate int8 model code.
+        from vtp_tpu.utils.quantization import int8_linear
+
+        y = int8_linear(x, p, p.get("bias"))
+        return y.astype(compute_dtype) if compute_dtype is not None else y
     kernel = p["kernel"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
