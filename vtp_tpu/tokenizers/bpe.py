@@ -208,11 +208,22 @@ class SimpleTokenizer:
 def get_tokenizer(
     model_name: str = "ViT-B-32",
     context_length: Optional[int] = None,
+    cache_dir: Optional[str] = None,
     **kwargs,
-) -> SimpleTokenizer:
+):
     """API-compatible with the reference's get_tokenizer
-    (text_tokenizer.py:297-325); model_name is accepted for
-    compatibility and ignored."""
-    return SimpleTokenizer(
-        context_length=context_length or DEFAULT_CONTEXT_LENGTH, **kwargs
-    )
+    (text_tokenizer.py:297-325), including its preference for
+    open_clip's tokenizer when that package is importable (it is not
+    in this environment; token IDs are bit-identical either way —
+    tests/test_tokenizer.py pins ours against the live reference)."""
+    context_length = context_length or DEFAULT_CONTEXT_LENGTH
+    try:  # pragma: no cover - open_clip absent here by design
+        from open_clip import get_tokenizer as _get_tokenizer
+
+        return _get_tokenizer(
+            model_name, context_length=context_length,
+            cache_dir=cache_dir, **kwargs,
+        )
+    except ImportError:
+        pass
+    return SimpleTokenizer(context_length=context_length, **kwargs)
