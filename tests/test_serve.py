@@ -71,6 +71,26 @@ def test_mixed_kind_contention(rng):
         srv.shutdown()
 
 
+def test_serves_quantized_model(rng):
+    """VTPServer composes with quantize_for_serving(): int8 encode/clip
+    through the queue, fp32 decode untouched."""
+    model = VTPModel.init(jax.random.key(3), TINY, encode_dtype=None)
+    srv = VTPServer(model.quantize_for_serving(), batch_size=4,
+                    max_wait_ms=5, warmup=False)
+    try:
+        img = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+        z = srv.submit_encode(img).result(timeout=120)
+        want = np.asarray(model.get_reconstruction_latents(img), np.float32)
+        got = np.asarray(z, np.float32)
+        cos = float(got.ravel() @ want.ravel()
+                    / (np.linalg.norm(got) * np.linalg.norm(want) + 1e-12))
+        assert cos > 0.99, cos
+        dec = srv.submit_decode(got).result(timeout=120)
+        assert dec.shape == (2, 3, 32, 32) and dec.dtype == np.float32
+    finally:
+        srv.shutdown()
+
+
 def test_shutdown_fails_pending_futures(rng):
     """shutdown() must fail queued-but-unprocessed futures instead of
     leaving them pending forever; later submits fail immediately."""
