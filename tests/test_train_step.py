@@ -178,3 +178,65 @@ def test_train_step_sharded_dp_tp():
     specs = param_partition_specs(state["params"])
     w1 = specs["trunk"]["blocks"]["mlp"]["w1"]["kernel"]
     assert w1[-1] == "model"
+
+
+NODROP = TrainConfig(**{**TTINY.__dict__, "clip_drop_rate": 0.0,
+                        "ssl_drop_rate": 0.0, "rec_drop_rate": 0.0})
+
+
+def test_grad_accum_duplicated_micro_equals_single():
+    """accum_steps=2 with the same microbatch duplicated must produce
+    exactly the accum=1 update (grads average to the single-micro grads;
+    centers pool to the same means). No stochastic depth so the
+    per-microbatch PRNG keys are inert."""
+    state = init_state(jax.random.key(0), TINY, NODROP)
+    micro = make_batch(jax.random.key(1))
+
+    step1 = jax.jit(build_train_step(TINY, NODROP))
+    s1, m1 = step1(state, micro, jax.random.key(2))
+
+    acfg = TrainConfig(**{**NODROP.__dict__, "accum_steps": 2})
+    step2 = jax.jit(build_train_step(TINY, acfg))
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), micro)
+    state_b = init_state(jax.random.key(0), TINY, NODROP)
+    s2, m2 = step2(state_b, stacked, jax.random.key(2))
+
+    for k in m1:
+        np.testing.assert_allclose(float(m2[k]), float(m1[k]), rtol=1e-5,
+                                   err_msg=k)
+    flat1 = jax.tree.leaves(s1["params"])
+    flat2 = jax.tree.leaves(s2["params"])
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2["dino_center"]),
+                               np.asarray(s1["dino_center"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s2["ibot_center"]),
+                               np.asarray(s1["ibot_center"]), atol=1e-6)
+    assert int(s2["step"]) == 1
+
+
+def test_grad_accum_metrics_average_distinct_micros():
+    """With two DIFFERENT microbatches the accumulated loss metrics are
+    the mean of the per-microbatch losses (losses at fixed params don't
+    depend on the optimizer), and one step advances `step` once."""
+    state = init_state(jax.random.key(0), TINY, NODROP)
+    ma = make_batch(jax.random.key(10))
+    mb = make_batch(jax.random.key(11))
+
+    step1 = jax.jit(build_train_step(TINY, NODROP))
+    _, met_a = step1(state, ma, jax.random.key(2))
+    state_f = init_state(jax.random.key(0), TINY, NODROP)
+    _, met_b = step1(state_f, mb, jax.random.key(2))
+
+    acfg = TrainConfig(**{**NODROP.__dict__, "accum_steps": 2})
+    step2 = jax.jit(build_train_step(TINY, acfg))
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), ma, mb)
+    state_g = init_state(jax.random.key(0), TINY, NODROP)
+    s2, m2 = step2(state_g, stacked, jax.random.key(2))
+
+    for k in ("loss/clip", "loss/rec", "loss/dino", "loss/ibot",
+              "loss/koleo", "loss/total"):
+        want = 0.5 * (float(met_a[k]) + float(met_b[k]))
+        np.testing.assert_allclose(float(m2[k]), want, rtol=1e-5, err_msg=k)
+    assert int(s2["step"]) == 1

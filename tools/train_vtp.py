@@ -22,6 +22,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import copy
 import os
 import sys
 import time
@@ -44,6 +45,12 @@ def parse_args(argv=None):
                    help="random data (smoke tests / throughput runs)")
     p.add_argument("--objectives", default="clip,ssl,rec")
     p.add_argument("--batch_size", type=int, default=256, help="global batch")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: split the global batch "
+                        "into this many microbatches per optimizer step "
+                        "(reference-scale global batches, e.g. 1024, on "
+                        "small meshes); contrastive negatives stay "
+                        "within a microbatch")
     p.add_argument("--steps", type=int, default=100_000)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--weight_decay", type=float, default=0.04)
@@ -229,9 +236,13 @@ def main(argv=None) -> None:
         n_data, n_model = (int(x) for x in args.mesh.split(","))
     else:
         n_data, n_model = n_devices, 1
-    if args.batch_size % max(n_data, 1):
+    if args.batch_size % max(args.accum_steps * n_data, 1):
         raise SystemExit(f"global batch {args.batch_size} must divide by "
-                         f"the data axis ({n_data})")
+                         f"accum_steps x data axis "
+                         f"({args.accum_steps} x {n_data})")
+    # generators yield microbatches; the optimizer still sees
+    # args.batch_size samples per step (accum_steps of them stacked)
+    micro_bs = args.batch_size // args.accum_steps
     tcfg = TrainConfig(
         train_clip="clip" in objectives,
         train_ssl="ssl" in objectives,
@@ -246,6 +257,7 @@ def main(argv=None) -> None:
                else True if args.remat == "full" else args.remat),
         unroll_layers=(args.unroll_chunk or args.unroll_layers),
         drop_shards=n_data,
+        accum_steps=args.accum_steps,
     )
 
     state = init_state(jax.random.key(args.seed), cfg, tcfg)
@@ -266,10 +278,15 @@ def main(argv=None) -> None:
         else:
             state = jax.device_put(state, NamedSharding(mesh, P()))
 
+        # with accumulation the leading axis is (accum_steps,) microbatch
+        # stacking (scanned over on-device); the data axis moves to 1
+        _lead = (None,) if args.accum_steps > 1 else ()
+
         def shard(batch):
             def put(x):
                 x = np.asarray(x)
-                spec = P("data", *([None] * (x.ndim - 1)))
+                spec = P(*_lead, "data",
+                         *([None] * (x.ndim - 1 - len(_lead))))
                 return jax.device_put(x, NamedSharding(mesh, spec))
 
             out = {k: put(v) for k, v in batch.items() if k != "ssl"}
@@ -293,8 +310,19 @@ def main(argv=None) -> None:
 
     step_fn = jax.jit(build_train_step(cfg, tcfg), donate_argnums=(0,))
     n_patches = (cfg.image_size // cfg.vision_patch_size) ** 2
+    gen_args = copy.copy(args)
+    gen_args.batch_size = micro_bs
     batches = (synthetic_batches if args.synthetic else folder_batches)(
-        args, cfg, n_patches, start_step=start_step)
+        gen_args, cfg, n_patches, start_step=start_step)
+    if args.accum_steps > 1:
+        micro_gen = batches
+
+        def _stacked():
+            while True:
+                micros = [next(micro_gen) for _ in range(args.accum_steps)]
+                yield jax.tree.map(lambda *xs: np.stack(xs), *micros)
+
+        batches = _stacked()
     key = jax.random.fold_in(jax.random.key(args.seed + 2), start_step)
 
     os.makedirs(args.out, exist_ok=True)

@@ -106,6 +106,14 @@ class TrainConfig:
     unroll_layers: Union[bool, int] = False
     # parallelism (drop-path shard count, = data-axis size)
     drop_shards: int = 1
+    # gradient accumulation: when > 1, every batch leaf must carry a
+    # leading (accum_steps,) microbatch axis (tree-stack accum_steps
+    # microbatches); grads are averaged across microbatches before one
+    # optimizer/EMA update, and the DINO/iBOT centers update as if over
+    # the concatenated batch. Contrastive objectives (CLIP/koleo) see
+    # each microbatch independently — the standard accumulation
+    # semantics (negatives don't cross microbatches).
+    accum_steps: int = 1
 
     @property
     def jnp_compute_dtype(self):
@@ -327,7 +335,7 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
         aux = (t_cls_head, t_masked_head)
         return l_dino_g + l_dino_l, l_ibot, l_koleo, aux
 
-    def train_step(state: TrainState, batch: Dict[str, Any], key: jax.Array):
+    def _loss_and_grads(state: TrainState, batch: Dict[str, Any], key: jax.Array):
         k_clip, k_rec, k_ssl = jax.random.split(key, 3)
 
         def loss_fn(params):
@@ -362,6 +370,22 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
         (_, (metrics, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state["params"]
         )
+        return grads, metrics, aux
+
+    def _center_stats(aux, ssl_batch):
+        """Streaming sufficient statistics for the center EMA updates:
+        (sum of teacher cls logits, row count, weighted sum of teacher
+        masked logits, weight sum)."""
+        t_cls_head, t_masked_head = aux
+        w = ssl_batch["mask_weight"].astype(jnp.float32)
+        return (
+            t_cls_head.astype(jnp.float32).sum(axis=0),
+            jnp.asarray(float(t_cls_head.shape[0]), jnp.float32),
+            (t_masked_head.astype(jnp.float32) * w[:, None]).sum(axis=0),
+            w.sum(),
+        )
+
+    def _apply_updates(state, grads, metrics, aux, ssl_batch):
         updates, opt_state = optimizer.update(
             grads, state["opt_state"], state["params"]
         )
@@ -381,7 +405,73 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
                 )
                 new_state["ibot_center"] = update_center(
                     state["ibot_center"], t_masked_head, tcfg.center_momentum,
-                    weight=batch["ssl"]["mask_weight"],
+                    weight=ssl_batch["mask_weight"],
+                )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    def train_step(state: TrainState, batch: Dict[str, Any], key: jax.Array):
+        if tcfg.accum_steps <= 1:
+            grads, metrics, aux = _loss_and_grads(state, batch, key)
+            return _apply_updates(state, grads, metrics, aux,
+                                  batch.get("ssl"))
+
+        # gradient accumulation: batch leaves carry a leading
+        # (accum_steps,) microbatch axis. The first microbatch runs
+        # outside the scan to seed the carry structure; grads accumulate
+        # in fp32 and are averaged before ONE optimizer/EMA step; the
+        # center updates use statistics pooled over all microbatches —
+        # bit-for-bit what a single concatenated batch would produce.
+        accum = tcfg.accum_steps
+        keys = jax.random.split(key, accum)
+        micro0 = jax.tree.map(lambda x: x[0], batch)
+        g0, m0, aux0 = _loss_and_grads(state, micro0, keys[0])
+        g_sum = jax.tree.map(lambda g: g.astype(jnp.float32), g0)
+        c_sum = _center_stats(aux0, micro0["ssl"]) if aux0 is not None else None
+
+        def body(carry, xs):
+            micro, k = xs
+            g_sum, m_sum, c_sum = carry
+            g, m, aux = _loss_and_grads(state, micro, k)
+            g_sum = jax.tree.map(
+                lambda a, b: a + b.astype(jnp.float32), g_sum, g
+            )
+            m_sum = jax.tree.map(jnp.add, m_sum, m)
+            if c_sum is not None:
+                c_sum = jax.tree.map(
+                    jnp.add, c_sum, _center_stats(aux, micro["ssl"])
+                )
+            return (g_sum, m_sum, c_sum), None
+
+        rest = jax.tree.map(lambda x: x[1:], batch)
+        (g_sum, m_sum, c_sum), _ = jax.lax.scan(
+            body, (g_sum, m0, c_sum), (rest, keys[1:])
+        )
+        grads = jax.tree.map(lambda g: g / accum, g_sum)
+        metrics = jax.tree.map(lambda m: m / accum, m_sum)
+
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        new_state = dict(state)
+        new_state["params"] = params
+        new_state["opt_state"] = opt_state
+        new_state["step"] = state["step"] + 1
+        if "teacher" in state:
+            new_state["teacher"] = ema_update(
+                state["teacher"], make_teacher(params), tcfg.teacher_momentum
+            )
+            if c_sum is not None:
+                cls_sum, cls_n, masked_sum, w_sum = c_sum
+                m_c = tcfg.center_momentum
+                new_state["dino_center"] = (
+                    m_c * state["dino_center"]
+                    + (1.0 - m_c) * cls_sum / jnp.maximum(cls_n, 1.0)
+                )
+                new_state["ibot_center"] = (
+                    m_c * state["ibot_center"]
+                    + (1.0 - m_c) * masked_sum / jnp.maximum(w_sum, 1.0)
                 )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
