@@ -129,3 +129,26 @@ def test_euler_sampler_statistics_against_gaussian_oracle():
     got_s = float(jnp.std(out))
     assert abs(got_m - m) < 0.05, got_m
     assert abs(got_s - s) < 0.05, got_s
+
+
+def test_train_step_learns_with_accumulation():
+    """accum_steps=2: latents/labels carry a leading (2,) microbatch
+    axis; grads average before one optimizer/EMA update and the loss
+    still decreases on the toy class-conditional task."""
+    tcfg = DiTTrainConfig(learning_rate=1e-3, total_steps=100, ema_decay=0.9,
+                          class_dropout_prob=0.1, accum_steps=2)
+    state = init_dit_state(jax.random.key(0), TINY, tcfg)
+    step = jax.jit(build_dit_train_step(TINY, tcfg))
+
+    protos = jax.random.normal(jax.random.key(1), (10, 8, 4, 4))
+    losses = []
+    for i in range(40):
+        k = jax.random.fold_in(jax.random.key(2), i)
+        y = jax.random.randint(jax.random.fold_in(k, 1), (2, 8), 0, 10)
+        z = protos[y]
+        assert z.shape == (2, 8, 8, 4, 4)
+        state, metrics = step(state, z, y, k)
+        losses.append(float(metrics["loss/transport"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    assert int(state["step"]) == 40

@@ -35,6 +35,9 @@ def main() -> None:
     p.add_argument("--in_channels", type=int, default=64)
     p.add_argument("--input_size", type=int, default=16)
     p.add_argument("--batch_size", type=int, default=1024)
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient accumulation: split the global batch "
+                        "into this many microbatches per optimizer step")
     p.add_argument("--steps", type=int, default=100_000)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--lognorm_mu", type=float, default=-0.75)
@@ -76,7 +79,10 @@ def main() -> None:
         remat=(False if args.remat == "off"
                else True if args.remat == "full" else args.remat),
         unroll_layers=not args.no_unroll_layers,
+        accum_steps=args.accum_steps,
     )
+    if args.batch_size % args.accum_steps:
+        raise SystemExit("batch_size must divide by accum_steps")
 
     state = init_dit_state(jax.random.key(args.seed), cfg, tcfg)
     start_step = 0
@@ -87,22 +93,25 @@ def main() -> None:
 
     mesh = make_mesh() if jax.device_count() > 1 else None
     if mesh is not None:
-        rep = NamedSharding(mesh, P())
-        state = jax.device_put(state, rep)
-        data_sharding = NamedSharding(mesh, P("data", None, None, None))
-        label_sharding = NamedSharding(mesh, P("data"))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
     step_fn = jax.jit(build_dit_train_step(cfg, tcfg), donate_argnums=(0,))
 
     ds = LatentShardDataset(args.latent_dir, latent_norm=True, seed=args.seed)
     batches = ds.batches(args.batch_size)
 
     t0 = time.time()
+    accum = args.accum_steps
     for step in range(start_step, args.steps):
         z, y = next(batches)
+        if accum > 1:  # leading (accum,) microbatch axis for the scan
+            z = np.asarray(z).reshape(accum, -1, *np.shape(z)[1:])
+            y = np.asarray(y).reshape(accum, -1)
         z, y = jnp.asarray(z), jnp.asarray(y)
         if mesh is not None:
-            z = jax.device_put(z, data_sharding)
-            y = jax.device_put(y, label_sharding)
+            lead = (None,) if accum > 1 else ()
+            z = jax.device_put(z, NamedSharding(
+                mesh, P(*lead, "data", None, None, None)))
+            y = jax.device_put(y, NamedSharding(mesh, P(*lead, "data")))
         state, metrics = step_fn(state, z, y, jax.random.fold_in(jax.random.key(args.seed), step))
         if (step + 1) % args.log_every == 0:
             rate = args.log_every * args.batch_size / (time.time() - t0)

@@ -41,6 +41,11 @@ class DiTTrainConfig:
     compute_dtype: Optional[str] = "bf16"
     remat: Union[bool, str] = True
     unroll_layers: bool = False
+    # gradient accumulation: latents/labels carry a leading
+    # (accum_steps,) microbatch axis; grads average before ONE
+    # optimizer/EMA update (the reference DiT configs train at global
+    # batch 1024 — generation/configs/train_vtp_l_dit_xl.yaml)
+    accum_steps: int = 1
 
     @property
     def jnp_compute_dtype(self):
@@ -76,7 +81,7 @@ def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
     optimizer = make_dit_optimizer(tcfg)
     cdt = tcfg.jnp_compute_dtype
 
-    def train_step(state: Dict, latents: jax.Array, labels: jax.Array, key: jax.Array):
+    def _loss_and_grads(params, latents, labels, key):
         k_drop, k_loss = jax.random.split(key)
         # classifier-free label dropout
         drop = jax.random.uniform(k_drop, labels.shape) < tcfg.class_dropout_prob
@@ -94,7 +99,35 @@ def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
                 use_cosine_loss=tcfg.use_cosine_loss,
             )
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return grads, metrics
+
+    def train_step(state: Dict, latents: jax.Array, labels: jax.Array, key: jax.Array):
+        if tcfg.accum_steps <= 1:
+            grads, metrics = _loss_and_grads(state["params"], latents, labels, key)
+        else:
+            accum = tcfg.accum_steps
+            keys = jax.random.split(key, accum)
+            g0, m0 = _loss_and_grads(
+                state["params"], latents[0], labels[0], keys[0]
+            )
+            g0 = jax.tree.map(lambda g: g.astype(jnp.float32), g0)
+
+            def body(carry, xs):
+                lat, lab, k = xs
+                g_sum, m_sum = carry
+                g, m = _loss_and_grads(state["params"], lat, lab, k)
+                g_sum = jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), g_sum, g
+                )
+                return (g_sum, jax.tree.map(jnp.add, m_sum, m)), None
+
+            (g_sum, m_sum), _ = jax.lax.scan(
+                body, (g0, m0), (latents[1:], labels[1:], keys[1:])
+            )
+            grads = jax.tree.map(lambda g: g / accum, g_sum)
+            metrics = jax.tree.map(lambda m: m / accum, m_sum)
+
         updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         new_state = {

@@ -296,13 +296,17 @@ class VTPModel:
 
     # -- serving -----------------------------------------------------
 
-    def quantize_for_serving(self, parts=("trunk", "text")) -> "VTPModel":
+    def quantize_for_serving(self, parts=("trunk",)) -> "VTPModel":
         """Copy of this model with the given towers' linears quantized to
         int8 (W8A8, dynamic per-row activations — utils/quantization).
         TPU-native form of the reference's int8 linear replacement hooks
-        (models/utils/text_utils.py:86-110); the int8 MXU runs these dots
-        at ~2x the bf16 rate on v5e. The pixel decoder always stays fp32
-        (the rFID protocol is defined on the fp32 decode path)."""
+        (models/utils/text_utils.py:86-110). Default quantizes the vision
+        trunk only: measured on v5e, int8 encode is +38% over bf16, but
+        the TEXT tower is 0.67x — its 768-dim GEMMs are too small to
+        amortize the per-row activation-quant passes (PERF.md round 3) —
+        so pass parts=("trunk", "text") only if you've measured a win at
+        your batch shape. The pixel decoder always stays fp32 (the rFID
+        protocol is defined on the fp32 decode path)."""
         from vtp_tpu.utils.quantization import quantize_matmul_params
 
         params = dict(self.params)
