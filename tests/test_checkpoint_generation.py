@@ -73,6 +73,34 @@ def test_train_state_orbax_roundtrip(tmp_path):
     )
 
 
+def test_train_state_async_save(tmp_path):
+    """block=False saves overlap the write; wait_for_checkpoints makes
+    them durable and a restore reads the LAST of several async saves."""
+    from vtp_tpu.checkpoint import (
+        latest_train_state_step,
+        restore_train_state,
+        save_train_state,
+        wait_for_checkpoints,
+    )
+    from vtp_tpu.train.step import TrainConfig, init_state
+
+    tcfg = TrainConfig(dino_out_dim=32, dino_hidden_dim=16,
+                       dino_bottleneck_dim=8, total_steps=10)
+    state = init_state(jax.random.key(0), TINY, tcfg)
+    out = str(tmp_path / "train_async")
+    for step in (1, 2):
+        state["step"] = jnp.asarray(step)
+        save_train_state(out, state, step=step, block=False)
+    wait_for_checkpoints()
+    assert latest_train_state_step(out) == 2
+    restored = restore_train_state(out, state)
+    assert int(restored["step"]) == 2
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["trunk"]["cls_token"]),
+        np.asarray(state["params"]["trunk"]["cls_token"]),
+    )
+
+
 def test_latent_shards_and_stats(tmp_path, rng):
     d = str(tmp_path / "latents")
     all_lat = []

@@ -61,7 +61,12 @@ def main() -> None:
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from vtp_tpu.checkpoint import latest_train_state_step, restore_train_state, save_train_state
+    from vtp_tpu.checkpoint import (
+        latest_train_state_step,
+        restore_train_state,
+        save_train_state,
+        wait_for_checkpoints,
+    )
     from vtp_tpu.dit.model import make_dit_config
     from vtp_tpu.dit.train import (
         DiTTrainConfig,
@@ -119,8 +124,10 @@ def main() -> None:
                   f"(mse {float(metrics['loss/mse']):.4f}) {rate:.0f} img/s")
             t0 = time.time()
         if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
-            save_train_state(args.out, jax.device_get(state))
+            save_train_state(args.out, jax.device_get(state), block=False)
             print(f"saved checkpoint at step {step + 1}")
+
+    wait_for_checkpoints()
 
 
 if __name__ == "__main__":

@@ -225,6 +225,7 @@ def main(argv=None) -> None:
         restore_train_state,
         save_pretrained,
         save_train_state,
+        wait_for_checkpoints,
     )
     from vtp_tpu.parallel import make_mesh
     from vtp_tpu.train.step import TrainConfig, build_train_step, init_state
@@ -354,9 +355,13 @@ def main(argv=None) -> None:
                 raise SystemExit(f"non-finite loss at step {step + 1}: {m}")
             t0, imgs = time.time(), 0
         if (step + 1) % args.ckpt_every == 0 or step + 1 == args.steps:
-            save_train_state(args.out, jax.device_get(state), step=step + 1)
+            # async: staged to host on return, written in background;
+            # the final wait_for_checkpoints() makes the last one durable
+            save_train_state(args.out, jax.device_get(state), step=step + 1,
+                             block=False)
             print(f"[train_vtp] checkpoint @ step {step + 1} -> {args.out}")
 
+    wait_for_checkpoints()
     if args.export_hf:
         export_dir = os.path.join(args.out, "hf_export")
         params = {k: v for k, v in jax.device_get(state["params"]).items()

@@ -90,13 +90,40 @@ def load_pretrained(path: str) -> Tuple[VTPConfig, Any]:
 # ----------------------------------------------------------------- orbax
 
 
-def save_train_state(directory: str, state: Any, step: Optional[int] = None) -> None:
-    import orbax.checkpoint as ocp
+_async_ckptr = None
 
+
+def _checkpointer():
+    """Process-wide orbax StandardCheckpointer (an AsyncCheckpointer:
+    ``save`` returns once the arrays are staged to host memory; disk
+    serialization runs in a background thread — safe to keep stepping
+    with donated buffers immediately after it returns)."""
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.StandardCheckpointer()
+    return _async_ckptr
+
+
+def save_train_state(
+    directory: str, state: Any, step: Optional[int] = None, block: bool = True
+) -> None:
+    """``block=False`` overlaps the disk write with subsequent train
+    steps; call :func:`wait_for_checkpoints` before process exit (and
+    before reading the checkpoint back)."""
     path = os.path.abspath(directory)
     step = int(state["step"]) if step is None else step
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, f"step_{step:08d}"), state, force=True)
+    ckptr = _checkpointer()
+    ckptr.save(os.path.join(path, f"step_{step:08d}"), state, force=True)
+    if block:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every in-flight async checkpoint write is durable."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
 
 
 def latest_train_state_step(directory: str) -> Optional[int]:
