@@ -152,3 +152,21 @@ def test_train_step_learns_with_accumulation():
     assert np.isfinite(losses).all()
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
     assert int(state["step"]) == 40
+
+
+def test_xl_presets_hit_the_fused_attention_kernel():
+    """DiT-XL defaults to 18 heads (head_dim 64, same dim/params as the
+    16-head LightningDiT-XL) so sampling/training engage the fused
+    Pallas attention path instead of the VPU fallback (PERF.md round 3);
+    16 heads stays selectable for exact LightningDiT shape parity."""
+    from vtp_tpu.dit.model import make_dit_config
+    from vtp_tpu.ops.flash_attention import fused_attention_supported
+
+    for preset in ("DiT-XL/1", "DiT-XL/2"):
+        cfg = make_dit_config(preset)
+        assert cfg.head_dim == 64
+        n = cfg.tokens_per_side ** 2
+        assert fused_attention_supported(
+            (32, n, 3 * cfg.dim), jnp.bfloat16, cfg.num_heads)
+    legacy = make_dit_config("DiT-XL/1", num_heads=16)
+    assert legacy.head_dim == 72  # LightningDiT shape, XLA fallback path

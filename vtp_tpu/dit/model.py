@@ -65,11 +65,21 @@ class DiTConfig:
         return self.num_classes  # extra row for classifier-free guidance
 
 
+# XL uses 18 heads (head_dim 64) rather than LightningDiT's 16
+# (head_dim 72): at fixed dim the qkv/proj/mlp shapes and parameter
+# count are identical, but head_dim 64 hits the fused Pallas
+# qkv+rope+attention kernels, while 72 falls back to an XLA path that
+# lowers the (256,256,72) dots onto the VPU with fp32 score
+# materialization — measured 22.6 ms of a 65.1 ms DiT-XL/1 euler step
+# (PERF.md round 3). This DiT is trained from scratch in-framework
+# (the reference's LightningDiT is an external, un-vendored submodule —
+# SURVEY.md section 2.7), so head count is a free architecture choice;
+# pass num_heads=16 to make_dit_config to match LightningDiT exactly.
 DIT_PRESETS = {
     "DiT-B/1": dict(dim=768, depth=12, num_heads=12, patch_size=1),
     "DiT-L/1": dict(dim=1024, depth=24, num_heads=16, patch_size=1),
-    "DiT-XL/1": dict(dim=1152, depth=28, num_heads=16, patch_size=1),
-    "DiT-XL/2": dict(dim=1152, depth=28, num_heads=16, patch_size=2),
+    "DiT-XL/1": dict(dim=1152, depth=28, num_heads=18, patch_size=1),
+    "DiT-XL/2": dict(dim=1152, depth=28, num_heads=18, patch_size=2),
 }
 
 
