@@ -101,16 +101,6 @@ def fused_attention_supported(qkv_shape, dtype, num_heads: int) -> bool:
     return vmem < 12 * 1024 * 1024
 
 
-def _rope_one(x, cos_h, sin_h, d: int):
-    """Per-head in-kernel rope (single roll; used on the qk-norm path)."""
-    from jax.experimental.pallas import tpu as pltpu
-
-    xf = x.astype(jnp.bfloat16).astype(jnp.float32)
-    rolled = pltpu.roll(xf, d // 2, 1)
-    out = xf * cos_h.astype(jnp.float32) + rolled * sin_h.astype(jnp.float32)
-    return out.astype(x.dtype) if x.dtype == jnp.float32 else out.astype(jnp.bfloat16)
-
-
 def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int,
                           n_valid: int = 0, is_causal: bool = False):
     """Pure-JAX composition matching the fused kernel's math — used as
@@ -269,17 +259,26 @@ def _fused_kernel_call(
 
     def kernel(*refs):
         if use_rope and use_qk_norm:
-            qkv_ref, sin_ref, cos_ref, qs_ref, ks_ref, o_ref = refs
+            qkv_ref, sin_ref, cos_ref, qs_ref, ks_ref, gm_ref, o_ref = refs
         elif use_rope:
             qkv_ref, sin_ref, cos_ref, o_ref = refs
         elif use_qk_norm:
-            qkv_ref, qs_ref, ks_ref, o_ref = refs
+            qkv_ref, qs_ref, ks_ref, gm_ref, o_ref = refs
         else:
             qkv_ref, o_ref = refs
 
-        def rms(x, w):
+        def norm_slab(x, w, gm):
+            # Whole-slab qk-RMSNorm: every lane needs its head-group's
+            # mean of squares, computed as ONE MXU dot with a
+            # block-diagonal averaging matrix (entries 1/d — exact in
+            # bf16). Alternatives measured at DiT-XL shapes (18 heads,
+            # N=256, d=64; PERF.md round 3b): per-head rms/rope loop
+            # 842 us/block, lane roll-doubling tree 796 (large-amount
+            # rolls are cross-register shuffles), this dot ~430.
             xf = x.astype(jnp.float32)
-            n = xf * jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-5)
+            xsq = x * x if x.dtype == jnp.bfloat16 else xf * xf
+            s = mxu_dot(xsq.astype(gm.dtype), gm, ((1,), (0,)))
+            n = xf * jax.lax.rsqrt(s + 1e-5)
             return (n.astype(x.dtype) * w).astype(x.dtype)
 
         def mxu_dot(a, b, dims):
@@ -317,7 +316,13 @@ def _fused_kernel_call(
             out = xf * cos_ref[:].astype(jnp.float32) + rolled * sin_ref[:].astype(jnp.float32)
             return out.astype(x.dtype) if x.dtype == jnp.float32 else out.astype(jnp.bfloat16)
 
-        if use_rope and not use_qk_norm:
+        if use_qk_norm:
+            q_slab = norm_slab(qkv_ref[0, :, :D], qs_ref[:], gm_ref[:])
+            k_slab = norm_slab(qkv_ref[0, :, D:2 * D], ks_ref[:], gm_ref[:])
+            if use_rope:
+                q_slab = rope_slab(q_slab)
+                k_slab = rope_slab(k_slab)
+        elif use_rope:
             q_slab = rope_slab(qkv_ref[0, :, :D])
             k_slab = rope_slab(qkv_ref[0, :, D:2 * D])
         else:
@@ -331,13 +336,6 @@ def _fused_kernel_call(
             else:
                 q = qkv_ref[0, :, h * d:(h + 1) * d]
                 k = qkv_ref[0, :, D + h * d:D + (h + 1) * d]
-                if use_qk_norm:
-                    q = rms(q, qs_ref[:])
-                    k = rms(k, ks_ref[:])
-                if use_rope:
-                    # per-head tables are head-tiled; any head's slice works
-                    q = _rope_one(q, cos_ref[:, sl_h], sin_ref[:, sl_h], d)
-                    k = _rope_one(k, cos_ref[:, sl_h], sin_ref[:, sl_h], d)
             v = qkv_ref[0, :, 2 * D + h * d:2 * D + (h + 1) * d]
             scores = mxu_dot(q, k, ((1,), (1,))) * scale
             if n_valid and n_valid != N:
@@ -358,7 +356,8 @@ def _fused_kernel_call(
     out_spec = pl.BlockSpec((1, N, D), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     table_spec = pl.BlockSpec((N, D), lambda b: (0, 0), memory_space=pltpu.VMEM)
-    vec_spec = pl.BlockSpec((d,), lambda b: (0,), memory_space=pltpu.VMEM)
+    # scales are head-tiled to (D,) so norm_slab multiplies whole slabs
+    vec_spec = pl.BlockSpec((three_d // 3,), lambda b: (0,), memory_space=pltpu.VMEM)
 
     inputs = [qkv]
     in_specs = [qkv_spec]
@@ -366,8 +365,16 @@ def _fused_kernel_call(
         inputs += [sin, cos]
         in_specs += [table_spec, table_spec]
     if use_qk_norm:
-        inputs += [q_scale.astype(jnp.float32), k_scale.astype(jnp.float32)]
-        in_specs += [vec_spec, vec_spec]
+        group_mean = jnp.kron(
+            jnp.eye(H, dtype=jnp.float32),
+            jnp.full((d, d), 1.0 / d, jnp.float32),
+        ).astype(qkv.dtype)
+        inputs += [jnp.tile(q_scale.astype(jnp.float32), H),
+                   jnp.tile(k_scale.astype(jnp.float32), H),
+                   group_mean]
+        in_specs += [vec_spec, vec_spec,
+                     pl.BlockSpec((D, D), lambda b: (0, 0),
+                                  memory_space=pltpu.VMEM)]
 
     import os
 
