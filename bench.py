@@ -266,10 +266,10 @@ def bench_train() -> None:
 def bench_dit() -> None:
     """BENCH_MODE=dit: DiT-XL/1 training-step throughput on f16d64
     latents (the reference's generation recipe,
-    generation/configs/train_vtp_l_dit_xl.yaml). Batch 32/chip: the
-    675M-param fp32 train state (params+ema+adam m,v) is ~10 GB, and
-    batch-64 activations push past the 16 GB v5e HBM."""
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    generation/configs/train_vtp_l_dit_xl.yaml). Batch 64/chip since
+    the qk-norm backward kernel arm (round 3b) removed the recompute
+    VJP's fp32 score buffers: 125.0 img/s vs 118.5 at batch 32."""
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
 
     from vtp_tpu.dit.model import make_dit_config
@@ -277,8 +277,9 @@ def bench_dit() -> None:
 
     cfg = make_dit_config("DiT-XL/1")
     # fastest measured fit on v5e: remat="attn" (save attention outputs)
-    # + unrolled depth loop — 93.8 img/s vs 90.8 full-remat-unrolled and
-    # 82.0 scanned (no-remat / dots_attn OOM the 675M model at batch 32)
+    # + unrolled depth loop (no-remat / dots_attn OOM the 675M model);
+    # with the dedicated qk-norm attention backward kernel: 118.5 img/s
+    # at B=32, 125.0 at B=64 (round 3b; was 94.3 on the recompute VJP)
     tcfg = DiTTrainConfig(remat="attn", unroll_layers=True)
     state = init_dit_state(jax.random.key(0), cfg, tcfg)
     step = jax.jit(build_dit_train_step(cfg, tcfg), donate_argnums=(0,))

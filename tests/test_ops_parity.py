@@ -292,6 +292,78 @@ def test_fused_attention_backward_kernel(rng, monkeypatch):
         )
 
 
+def test_fused_attention_backward_kernel_qk_norm(rng, monkeypatch):
+    """qk-norm arm of the dedicated backward kernel (the DiT training
+    path): d(qkv) AND the q/k scale grads vs the einsum-composition VJP
+    oracle, with and without rope."""
+    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    from vtp_tpu.ops.flash_attention import (
+        _fused_bwd_kernel_call,
+        _fused_reference_impl,
+    )
+
+    B, N, H, d = 2, 16, 2, 32
+    for use_rope in (True, False):
+        qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal((B, N, H * d)), jnp.bfloat16)
+        sin_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16) if use_rope else None
+        cos_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16) if use_rope else None
+        qs = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1 + 1.0)
+        ks = jnp.asarray(rng.standard_normal(d).astype(np.float32) * 0.1 + 1.0)
+
+        d_qkv, dws = _fused_bwd_kernel_call(
+            qkv, g, sin_t, cos_t, H, q_scale=qs, k_scale=ks)
+        dwq = dws[:, 0, :].sum(0).reshape(H, d).sum(0)
+        dwk = dws[:, 1, :].sum(0).reshape(H, d).sum(0)
+
+        def f(x, wq, wk):
+            out = _fused_reference_impl(x, sin_t, cos_t, wq, wk, H)
+            return jnp.sum(out.astype(jnp.float32) * g.astype(jnp.float32))
+
+        want, want_wq, want_wk = jax.grad(f, argnums=(0, 1, 2))(
+            qkv.astype(jnp.float32), qs, ks)
+        np.testing.assert_allclose(
+            np.asarray(d_qkv, np.float32), np.asarray(want, np.float32),
+            atol=5e-2, rtol=5e-2, err_msg=f"d_qkv use_rope={use_rope}",
+        )
+        # scale grads accumulate over B*N*H rows — scale tolerance to
+        # the bf16 stats-dot noise of that accumulation
+        np.testing.assert_allclose(
+            np.asarray(dwq), np.asarray(want_wq), atol=0.3, rtol=5e-2,
+            err_msg=f"dwq use_rope={use_rope}")
+        np.testing.assert_allclose(
+            np.asarray(dwk), np.asarray(want_wk), atol=0.3, rtol=5e-2,
+            err_msg=f"dwk use_rope={use_rope}")
+
+
+def test_fused_attention_qk_norm_vjp_dispatch(rng, monkeypatch):
+    """fused_qkv_rope_attention's custom_vjp routes bf16 qk-norm
+    configs through the backward kernel: finite grads for qkv and both
+    scales, zero rope-table cotangents."""
+    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    from vtp_tpu.ops.flash_attention import fused_qkv_rope_attention
+
+    B, N, H, d = 1, 8, 2, 32
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.bfloat16)
+    sin_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+    cos_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+    qs = jnp.ones((d,), jnp.float32)
+    ks = jnp.ones((d,), jnp.float32)
+
+    def loss(x, s, c, wq, wk):
+        return jnp.sum(fused_qkv_rope_attention(
+            x, s, c, H, q_scale=wq, k_scale=wk).astype(jnp.float32) ** 2)
+
+    gx, gs, gc, gwq, gwk = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        qkv, sin_t, cos_t, qs, ks)
+    assert bool(jnp.isfinite(gx).all()) and float(jnp.abs(gx).max()) > 0
+    assert gwq.shape == (d,) and gwk.shape == (d,)
+    assert bool(jnp.isfinite(gwq).all()) and float(jnp.abs(gwq).max()) > 0
+    assert bool(jnp.isfinite(gwk).all()) and float(jnp.abs(gwk).max()) > 0
+    assert float(jnp.abs(gs).max()) == 0.0
+    assert float(jnp.abs(gc).max()) == 0.0
+
+
 def test_fused_attention_backward_dispatch(rng, monkeypatch):
     """fused_qkv_rope_attention's custom_vjp routes bf16 no-qk-norm
     configs through the backward kernel and returns zero rope-table

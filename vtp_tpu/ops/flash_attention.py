@@ -101,6 +101,18 @@ def fused_attention_supported(qkv_shape, dtype, num_heads: int) -> bool:
     return vmem < 12 * 1024 * 1024
 
 
+def _fused_bwd_qk_norm_fits(qkv_shape) -> bool:
+    """VMEM gate for the qk-norm backward arm: on top of the plain
+    backward's footprint it holds the (D, D) block-diagonal stats
+    matrix plus ~4 fp32 (N, D) norm intermediates (r/n/dn/t per slab,
+    liveness-overlapped). Falls back to the recompute VJP above it."""
+    _, N, three_d = qkv_shape
+    D = three_d // 3
+    vmem = (N * three_d * 2) * 2 + 2 * N * N * 4 \
+        + D * D * 2 + 6 * N * D * 4
+    return vmem < 14 * 1024 * 1024
+
+
 def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int,
                           n_valid: int = 0, is_causal: bool = False):
     """Pure-JAX composition matching the fused kernel's math — used as
@@ -156,8 +168,13 @@ def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False,
         return fwd_only(qkv, sin, cos, q_scale, k_scale), (qkv, sin, cos, q_scale, k_scale)
 
     def bwd(res, g):
+        import os
+
         qkv, sin, cos, q_scale, k_scale = res
-        if q_scale is None and qkv.dtype == jnp.bfloat16:
+        zt = (lambda t: None if t is None else jnp.zeros_like(t))
+        use_kernel = (qkv.dtype == jnp.bfloat16
+                      and not os.environ.get("VTP_DISABLE_BWD_KERNEL"))
+        if use_kernel and q_scale is None:
             # dedicated Pallas backward kernel (no recompute round-trip
             # through XLA's qkv-split/relayout dataflow). sin/cos get
             # zero cotangents: RoPE periods are a non-trained buffer in
@@ -165,8 +182,19 @@ def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False,
             # used to leak real gradients into them.
             d_qkv = _fused_bwd_kernel_call(qkv, g, sin, cos, num_heads,
                                            n_valid=n_valid, is_causal=is_causal)
-            zt = (lambda t: None if t is None else jnp.zeros_like(t))
             return d_qkv, zt(sin), zt(cos), None, None
+        if (use_kernel and q_scale is not None
+                and _fused_bwd_qk_norm_fits(qkv.shape)):
+            # qk-norm arm (the DiT training path): same kernel, plus
+            # in-kernel RMSNorm adjoint and per-batch scale-grad rows
+            d_qkv, dws = _fused_bwd_kernel_call(
+                qkv, g, sin, cos, num_heads, q_scale, k_scale,
+                n_valid=n_valid, is_causal=is_causal)
+            d = q_scale.shape[0]
+            dwq = dws[:, 0, :].sum(0).reshape(num_heads, d).sum(0)
+            dwk = dws[:, 1, :].sum(0).reshape(num_heads, d).sum(0)
+            return (d_qkv, zt(sin), zt(cos),
+                    dwq.astype(q_scale.dtype), dwk.astype(k_scale.dtype))
         _, vjp = jax.vjp(
             lambda *a: _fused_reference_impl(
                 *a, num_heads=num_heads, n_valid=n_valid, is_causal=is_causal
@@ -398,15 +426,17 @@ def _fused_bwd_kernel_call(
     g: jax.Array,            # (B, N, H*d) output cotangent
     sin, cos,                # (N, d) tables or None
     num_heads: int,
+    q_scale=None, k_scale=None,  # optional per-head-dim RMS-norm scales (d,)
     n_valid: int = 0,
     is_causal: bool = False,
-) -> jax.Array:
+):
     """Dedicated flash-attention backward: one grid step per batch row
-    recomputes the roped q/k and the softmax from the saved qkv GEMM
-    output (VMEM-resident), then produces d(qkv) directly in the packed
-    (B, N, 3D) layout — the backward never materializes split q/k/v
-    tensors, mirroring the forward kernel's dataflow motivation
-    (relayout cost ~6x the attention math at VTP shapes).
+    recomputes the (optionally qk-normed and) roped q/k and the softmax
+    from the saved qkv GEMM output (VMEM-resident), then produces
+    d(qkv) directly in the packed (B, N, 3D) layout — the backward
+    never materializes split q/k/v tensors, mirroring the forward
+    kernel's dataflow motivation (relayout cost ~6x the attention math
+    at VTP shapes).
 
     Math per head (standard softmax-attention VJP):
       p  = softmax(q kᵀ·s)        dv = pᵀ g
@@ -417,8 +447,18 @@ def _fused_bwd_kernel_call(
     the lane-parity select is an involution, so the same roll structure
     applies with the sin multiply moved before the roll).
 
-    bf16 only (training compute dtype); qk-norm configs use the
-    recompute VJP.
+    With qk-norm (the DiT arm, dit/model.py): forward is
+    x → n = x·rsqrt(mean_h(x²)+eps) → n·w → rope → attention, where
+    mean_h is the per-head-group lane mean (one block-diagonal MXU dot,
+    as in the forward kernel). The adjoint chains unrope → scale
+    (dn = d(n·w)·w, dw = Σ d(n·w)⊙n) → RMSNorm input rule
+    dx = r·dn − x·r³·mean_h(dn⊙x) with r = rsqrt(mean_h(x²)+eps); the
+    per-head means again ride the same block-diagonal dot. Returns
+    (dqkv, dws) where dws is (B, 8, D) fp32 with per-batch dw_q / dw_k
+    row sums in rows 0/1 (folded to (d,) by the caller).
+
+    bf16 only (training compute dtype); fp32 configs use the recompute
+    VJP.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -429,6 +469,7 @@ def _fused_bwd_kernel_call(
     d = D // H
     scale = d**-0.5
     use_rope = sin is not None
+    use_qk_norm = q_scale is not None
 
     if use_rope:
         signs = jnp.concatenate([
@@ -440,10 +481,26 @@ def _fused_bwd_kernel_call(
         cos = jnp.tile(cos, (1, H))
 
     def kernel(*refs):
-        if use_rope:
+        if use_rope and use_qk_norm:
+            (qkv_ref, g_ref, sin_ref, cos_ref, qs_ref, ks_ref, gm_ref,
+             dqkv_ref, dws_ref) = refs
+        elif use_rope:
             qkv_ref, g_ref, sin_ref, cos_ref, dqkv_ref = refs
+        elif use_qk_norm:
+            qkv_ref, g_ref, qs_ref, ks_ref, gm_ref, dqkv_ref, dws_ref = refs
         else:
             qkv_ref, g_ref, dqkv_ref = refs
+
+        def group_mean_dot(x):
+            """Per-head-group lane mean of x broadcast back to every
+            lane, as one (N, D)x(D, D) block-diagonal MXU dot (fwd
+            kernel's norm_slab trick; bf16 operands)."""
+            return jax.lax.dot_general(
+                x.astype(gm_ref.dtype), gm_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
 
         def lane_roll_half(z):
             """where(lane%d < d/2, roll(z, -d/2), roll(z, +d/2)) — the
@@ -465,14 +522,29 @@ def _fused_bwd_kernel_call(
                 + lane_roll_half(xf * sin_ref[:].astype(jnp.float32))
             return out.astype(dqkv_ref.dtype)
 
-        if use_rope:
+        if use_qk_norm:
+            x_q = qkv_ref[0, :, :D]
+            x_k = qkv_ref[0, :, D:2 * D]
+            # mirror the fwd kernel: bf16 squares into the stats dot.
+            # Only r survives the attention loop; n is recomputed from
+            # the input ref in the norm-adjoint phase (VMEM liveness).
+            r_q = jax.lax.rsqrt(group_mean_dot(x_q * x_q) + 1e-5)
+            r_k = jax.lax.rsqrt(group_mean_dot(x_k * x_k) + 1e-5)
+            q_slab = ((x_q.astype(jnp.float32) * r_q).astype(x_q.dtype)
+                      * qs_ref[:]).astype(x_q.dtype)
+            k_slab = ((x_k.astype(jnp.float32) * r_k).astype(x_k.dtype)
+                      * ks_ref[:]).astype(x_k.dtype)
+            if use_rope:
+                q_slab = rope_slab(q_slab)
+                k_slab = rope_slab(k_slab)
+        elif use_rope:
             q_slab = rope_slab(qkv_ref[0, :, :D])
             k_slab = rope_slab(qkv_ref[0, :, D:2 * D])
         else:
             q_slab = qkv_ref[0, :, :D]
             k_slab = qkv_ref[0, :, D:2 * D]
 
-        dq_parts, dk_parts, dv_parts = [], [], []
+        dq_parts, dk_parts = [], []
         for h in range(H):
             sl = slice(h * d, (h + 1) * d)
             q = q_slab[:, sl]
@@ -524,16 +596,46 @@ def _fused_bwd_kernel_call(
             )
             dq_parts.append(dq.astype(jnp.bfloat16))
             dk_parts.append(dk.astype(jnp.bfloat16))
-            dv_parts.append(dv.astype(dqkv_ref.dtype))
+            # dv retires immediately into the output block (VMEM
+            # liveness: no dv parts list carried across the loop)
+            dqkv_ref[0, :, 2 * D + h * d:2 * D + (h + 1) * d] = \
+                dv.astype(dqkv_ref.dtype)
 
-        dq_slab = jnp.concatenate(dq_parts, axis=1)
-        dk_slab = jnp.concatenate(dk_parts, axis=1)
-        if use_rope:
-            dq_slab = unrope_slab(dq_slab)
-            dk_slab = unrope_slab(dk_slab)
-        dqkv_ref[0, :, :D] = dq_slab.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, D:2 * D] = dk_slab.astype(dqkv_ref.dtype)
-        dqkv_ref[0, :, 2 * D:] = jnp.concatenate(dv_parts, axis=1)
+        if use_qk_norm:
+            # One slab fully retired before the other starts (the
+            # qk-norm arm's extra fp32 norm intermediates put the
+            # naive both-slabs schedule over the VMEM budget at
+            # DiT-XL shapes).
+            def norm_adjoint(dslab, x, r, w):
+                """dslab: cotangent w.r.t. the scaled-normed slab
+                (post-unrope). Returns (d_input, dw_row)."""
+                dsc = dslab.astype(jnp.float32)
+                xf = x.astype(jnp.float32)
+                dw = jnp.sum(dsc * (xf * r), axis=0, keepdims=True)
+                dn = dsc * w
+                t = group_mean_dot(dn * xf)
+                return r * dn - xf * (r * r * r) * t, dw
+
+            dq_slab = jnp.concatenate(dq_parts, axis=1)
+            if use_rope:
+                dq_slab = unrope_slab(dq_slab)
+            dq_slab, dwq = norm_adjoint(dq_slab, x_q, r_q, qs_ref[:])
+            dqkv_ref[0, :, :D] = dq_slab.astype(dqkv_ref.dtype)
+            dk_slab = jnp.concatenate(dk_parts, axis=1)
+            if use_rope:
+                dk_slab = unrope_slab(dk_slab)
+            dk_slab, dwk = norm_adjoint(dk_slab, x_k, r_k, ks_ref[:])
+            dqkv_ref[0, :, D:2 * D] = dk_slab.astype(dqkv_ref.dtype)
+            dws_ref[0] = jnp.concatenate(
+                [dwq, dwk, jnp.zeros((6, D), jnp.float32)], axis=0)
+        else:
+            dq_slab = jnp.concatenate(dq_parts, axis=1)
+            dk_slab = jnp.concatenate(dk_parts, axis=1)
+            if use_rope:
+                dq_slab = unrope_slab(dq_slab)
+                dk_slab = unrope_slab(dk_slab)
+            dqkv_ref[0, :, :D] = dq_slab.astype(dqkv_ref.dtype)
+            dqkv_ref[0, :, D:2 * D] = dk_slab.astype(dqkv_ref.dtype)
 
     qkv_spec = pl.BlockSpec((1, N, three_d), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -546,20 +648,50 @@ def _fused_bwd_kernel_call(
     if use_rope:
         inputs += [sin, cos]
         in_specs += [table_spec, table_spec]
+    if use_qk_norm:
+        vec_spec = pl.BlockSpec((D,), lambda b: (0,),
+                                memory_space=pltpu.VMEM)
+        group_mean = jnp.kron(
+            jnp.eye(H, dtype=jnp.float32),
+            jnp.full((d, d), 1.0 / d, jnp.float32),
+        ).astype(qkv.dtype)
+        inputs += [jnp.tile(q_scale.astype(jnp.float32), H),
+                   jnp.tile(k_scale.astype(jnp.float32), H),
+                   group_mean]
+        in_specs += [vec_spec, vec_spec,
+                     pl.BlockSpec((D, D), lambda b: (0, 0),
+                                  memory_space=pltpu.VMEM)]
 
     import os
+
+    out_specs = qkv_spec
+    out_shape = jax.ShapeDtypeStruct((B, N, three_d), qkv.dtype)
+    compiler_params = None
+    if use_qk_norm:
+        out_specs = [qkv_spec,
+                     pl.BlockSpec((1, 8, D), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B, 8, D), jnp.float32)]
+        # the fp32 norm intermediates push past the default 16 MB
+        # scoped-vmem budget at DiT-XL shapes (measured 27.3 MB
+        # naive, less after the sequential-slab schedule); v5e has
+        # headroom above the default scoped limit
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024)
 
     return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=in_specs,
-        out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, three_d), qkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=5 * 2 * B * H * N * N * d,
             bytes_accessed=B * N * (2 * three_d + D) * qkv.dtype.itemsize,
             transcendentals=B * H * N * N,
         ),
+        compiler_params=compiler_params,
         interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
     )(*inputs)
 
