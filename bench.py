@@ -265,40 +265,69 @@ def bench_train() -> None:
 
 def bench_dit() -> None:
     """BENCH_MODE=dit: DiT-XL/1 training-step throughput on f16d64
-    latents (the reference's generation recipe,
-    generation/configs/train_vtp_l_dit_xl.yaml). Batch 64/chip since
-    the qk-norm backward kernel arm (round 3b) removed the recompute
-    VJP's fp32 score buffers: 125.0 img/s vs 118.5 at batch 32."""
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    latents (the reference's generation recipe: global batch 1024,
+    generation/configs/train_vtp_l_dit_xl.yaml). Operating point
+    (round 3b, measured ladder in PERF.md): B=32 microbatches with
+    host-driven bf16 gradient accumulation (BENCH_ACCUM=8 default,
+    mirroring the reference's global-batch recipe on one chip) —
+    131.8 img/s vs 118.5 plain-step B=32 / 125.0 B=64 / 94.3 before
+    the qk-norm backward kernel arm. BENCH_ACCUM=1 benches the plain
+    jitted step."""
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+    accum = int(os.environ.get("BENCH_ACCUM", "8"))
 
     from vtp_tpu.dit.model import make_dit_config
-    from vtp_tpu.dit.train import DiTTrainConfig, build_dit_train_step, init_dit_state
+    from vtp_tpu.dit.train import (
+        DiTTrainConfig,
+        build_dit_microbatch_steps,
+        build_dit_train_step,
+        init_dit_state,
+        zero_grad_accumulators,
+    )
 
     cfg = make_dit_config("DiT-XL/1")
     # fastest measured fit on v5e: remat="attn" (save attention outputs)
     # + unrolled depth loop (no-remat / dots_attn OOM the 675M model);
-    # with the dedicated qk-norm attention backward kernel: 118.5 img/s
-    # at B=32, 125.0 at B=64 (round 3b; was 94.3 on the recompute VJP)
-    tcfg = DiTTrainConfig(remat="attn", unroll_layers=True)
+    # bf16 accumulator (fp32 next to the 10.8 GB train state OOMs)
+    tcfg = DiTTrainConfig(remat="attn", unroll_layers=True,
+                          accum_steps=accum, accum_dtype="bf16")
     state = init_dit_state(jax.random.key(0), cfg, tcfg)
-    step = jax.jit(build_dit_train_step(cfg, tcfg), donate_argnums=(0,))
     lat = jax.random.normal(jax.random.key(1), (batch, cfg.in_channels,
                                                 cfg.input_size, cfg.input_size))
     lab = jax.random.randint(jax.random.key(2), (batch,), 0, cfg.num_classes)
 
+    if accum <= 1:
+        step = jax.jit(build_dit_train_step(cfg, tcfg), donate_argnums=(0,))
+
+        def run(state, key):
+            return step(state, lat, lab, key)
+    else:
+        micro, apply_ = build_dit_microbatch_steps(cfg, tcfg)
+        micro = jax.jit(micro, donate_argnums=(1, 2))
+        apply_ = jax.jit(apply_, donate_argnums=(0, 1, 2))
+
+        def run(state, key):
+            keys = jax.random.split(key, accum)
+            g_sum, m_sum = zero_grad_accumulators(state["params"], tcfg)
+            for i in range(accum):
+                g_sum, m_sum = micro(state["params"], g_sum, m_sum,
+                                     lat, lab, keys[i])
+            return apply_(state, g_sum, m_sum)
+
     t0 = time.perf_counter()
-    state, metrics = step(state, lat, lab, jax.random.key(3))
+    state, metrics = run(state, jax.random.key(3))
     _ = float(metrics["loss/transport"])
     print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, lat, lab, jax.random.key(4 + i))
+        state, metrics = run(state, jax.random.key(4 + i))
     _ = float(metrics["loss/transport"])
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
-        "metric": "DiT-XL/1 f16d64 train-step throughput (bf16, adaLN-zero, flow transport)",
-        "value": round(batch / dt, 2),
+        "metric": "DiT-XL/1 f16d64 train-step throughput (bf16, adaLN-zero, "
+                  f"flow transport, accum={accum})",
+        "value": round(batch * max(accum, 1) / dt, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": None,
     }))

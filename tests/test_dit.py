@@ -154,6 +154,55 @@ def test_train_step_learns_with_accumulation():
     assert int(state["step"]) == 40
 
 
+def test_host_accumulation_matches_in_jit_scan():
+    """build_dit_microbatch_steps (host-driven two-jit accumulation,
+    used by tools/train_dit.py for DiT-XL where the in-jit scan
+    overplans HBM) produces the same update as build_dit_train_step's
+    accum path: identical per-microbatch keys, identical params/ema/
+    metrics after one optimizer step."""
+    from vtp_tpu.dit.train import (
+        build_dit_microbatch_steps,
+        zero_grad_accumulators,
+    )
+
+    accum = 2
+    tcfg = DiTTrainConfig(learning_rate=1e-3, total_steps=100, ema_decay=0.9,
+                          class_dropout_prob=0.1, accum_steps=accum)
+    state_a = init_dit_state(jax.random.key(0), TINY, tcfg)
+    state_b = jax.tree.map(jnp.copy, state_a)
+
+    key = jax.random.key(7)
+    y = jax.random.randint(jax.random.key(8), (accum, 8), 0, 10)
+    z = jax.random.normal(jax.random.key(9), (accum, 8, 8, 4, 4))
+
+    step = jax.jit(build_dit_train_step(TINY, tcfg))
+    state_a, m_a = step(state_a, z, y, key)
+
+    micro, apply_ = build_dit_microbatch_steps(TINY, tcfg)
+    micro = jax.jit(micro)
+    apply_ = jax.jit(apply_)
+    keys = jax.random.split(key, accum)
+    g_sum, m_sum = zero_grad_accumulators(state_b["params"], tcfg)
+    for i in range(accum):
+        g_sum, m_sum = micro(state_b["params"], g_sum, m_sum, z[i], y[i],
+                             keys[i])
+    state_b, m_b = apply_(state_b, g_sum, m_sum)
+
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-5,
+                                   err_msg=k)
+    flat_a = jax.tree.leaves(state_a["params"])
+    flat_b = jax.tree.leaves(state_b["params"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=1e-6, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(state_b["ema"])[0], np.float32),
+        np.asarray(jax.tree.leaves(state_a["ema"])[0], np.float32),
+        atol=1e-6, rtol=1e-5)
+
+
 def test_xl_presets_hit_the_fused_attention_kernel():
     """DiT-XL defaults to 18 heads (head_dim 64, same dim/params as the
     16-head LightningDiT-XL) so sampling/training engage the fused

@@ -46,6 +46,13 @@ class DiTTrainConfig:
     # optimizer/EMA update (the reference DiT configs train at global
     # batch 1024 — generation/configs/train_vtp_l_dit_xl.yaml)
     accum_steps: int = 1
+    # accumulator dtype for the host-driven microbatch loop
+    # (build_dit_microbatch_steps). fp32 matches the reference; at
+    # DiT-XL/1 on one 16 GB v5e the fp32 accumulator does not fit next
+    # to the 10.8 GB train state (measured: XLA drops donation aliasing
+    # under the pressure, then OOMs) — "bf16" halves it and fits.
+    # Multi-chip sharding makes this moot (state/8 per chip).
+    accum_dtype: str = "fp32"
 
     @property
     def jnp_compute_dtype(self):
@@ -77,8 +84,7 @@ def init_dit_state(key: jax.Array, cfg: DiTConfig, tcfg: DiTTrainConfig) -> Dict
     }
 
 
-def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
-    optimizer = make_dit_optimizer(tcfg)
+def _make_loss_and_grads(cfg: DiTConfig, tcfg: DiTTrainConfig):
     cdt = tcfg.jnp_compute_dtype
 
     def _loss_and_grads(params, latents, labels, key):
@@ -101,6 +107,13 @@ def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return grads, metrics
+
+    return _loss_and_grads
+
+
+def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
+    optimizer = make_dit_optimizer(tcfg)
+    _loss_and_grads = _make_loss_and_grads(cfg, tcfg)
 
     def train_step(state: Dict, latents: jax.Array, labels: jax.Array, key: jax.Array):
         if tcfg.accum_steps <= 1:
@@ -140,6 +153,65 @@ def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
         return new_state, metrics
 
     return train_step
+
+
+def build_dit_microbatch_steps(cfg: DiTConfig, tcfg: DiTTrainConfig):
+    """Host-driven gradient accumulation for models whose in-jit
+    accumulation scan exceeds XLA's HBM plan: at DiT-XL/1 B=32 the
+    28-layer body inside the microbatch ``lax.scan`` plus the fp32 grad
+    carry plans 23.9 MB over the 15.75 GB v5e HBM (measured; the
+    identical accum=1 graph fits with room). The trainer instead
+    drives two small jits in a Python loop — same math, HLO size of a
+    single microbatch, one extra f32 grad-tree read-modify-write per
+    microbatch (~10 ms at DiT-XL against a ~230 ms microbatch).
+
+    Returns ``(micro_step, apply_step)``:
+      micro_step(params, g_sum, m_sum, latents, labels, key)
+          -> (g_sum', m_sum')   # donate g_sum/m_sum
+      apply_step(state, g_sum, m_sum) -> (state', metrics)  # donate both
+    where g_sum/m_sum start as zeros_like trees (fp32 grads / metric
+    scalars) and apply_step divides by ``tcfg.accum_steps``."""
+    optimizer = make_dit_optimizer(tcfg)
+    _loss_and_grads = _make_loss_and_grads(cfg, tcfg)
+    accum = max(1, int(tcfg.accum_steps))
+    adt = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[tcfg.accum_dtype]
+
+    def micro_step(params, g_sum, m_sum, latents, labels, key):
+        g, m = _loss_and_grads(params, latents, labels, key)
+        # add in fp32, store in the accumulator dtype
+        g_sum = jax.tree.map(
+            lambda a, b: (a.astype(jnp.float32)
+                          + b.astype(jnp.float32)).astype(adt), g_sum, g)
+        return g_sum, jax.tree.map(jnp.add, m_sum, m)
+
+    def apply_step(state, g_sum, m_sum):
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32) / accum, g_sum)
+        metrics = jax.tree.map(lambda m: m / accum, m_sum)
+        updates, opt_state = optimizer.update(
+            grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "ema": ema_update(state["ema"], params, tcfg.ema_decay),
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return micro_step, apply_step
+
+
+def zero_grad_accumulators(params, tcfg: DiTTrainConfig):
+    """Fresh (g_sum, m_sum) trees for the microbatch loop (keys match
+    transport.training_losses' metrics for this config)."""
+    keys = ["loss/mse", "loss/transport"]
+    if tcfg.use_cosine_loss:
+        keys.insert(1, "loss/cos")
+    adt = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[tcfg.accum_dtype]
+    g_sum = jax.tree.map(lambda p: jnp.zeros(p.shape, adt), params)
+    m_sum = {k: jnp.zeros((), jnp.float32) for k in keys}
+    return g_sum, m_sum
 
 
 class LatentShardDataset:
