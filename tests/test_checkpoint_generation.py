@@ -183,3 +183,56 @@ def test_format_routing_both_ways(tmp_path, rng):
         np.asarray(VTPModel(TINY, params, encode_dtype=None).get_reconstruction_latents(x)),
         atol=1e-5,
     )
+
+
+def test_sample_dit_cli_end_to_end(tmp_path):
+    """tools/train_dit.py -> tools/sample_dit.py produce the gFID input
+    artifact: per-sample PNGs plus an ADM-format samples.npz (arr_0,
+    uint8 NHWC) — the exact layout the ADM FID suite consumes
+    (reference: generation/tools/inference_lightningdit_vtp.py's
+    save protocol). Tiny DiT-B/1 + TINY VTP decoder on CPU."""
+    import subprocess
+    import sys
+
+    rng = np.random.default_rng(0)
+    lat_dir = tmp_path / "latents"
+    lat_dir.mkdir()
+    lat = rng.normal(size=(64, 16, 2, 2)).astype(np.float32)
+    save_latent_shard(str(lat_dir), 0, 0, lat, lat[:, :, :, ::-1].copy(),
+                      rng.integers(0, 10, 64))
+    compute_latent_stats(str(lat_dir), save=True)
+
+    params = init_vtp_params(jax.random.key(0), TINY)
+    save_pretrained(str(tmp_path / "vtp"), TINY, params)
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "tools/train_dit.py", "--latent_dir", str(lat_dir),
+         "--preset", "DiT-B/1", "--depth", "2", "--dim", "192",
+         "--in_channels", "16", "--input_size", "2",
+         "--batch_size", "8", "--steps", "1", "--log_every", "1",
+         "--out", str(tmp_path / "dit_ckpt"), "--remat", "off"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    out = tmp_path / "samples"
+    r = subprocess.run(
+        [sys.executable, "tools/sample_dit.py",
+         "--dit_ckpt", str(tmp_path / "dit_ckpt"),
+         "--model_path", str(tmp_path / "vtp"),
+         "--latent_dir", str(lat_dir),
+         "--preset", "DiT-B/1", "--depth", "2", "--dim", "192",
+         "--in_channels", "16", "--input_size", "2",
+         "--num_samples", "6", "--batch_size", "4", "--num_steps", "4",
+         "--out", str(out), "--save_npz"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    pngs = sorted(p.name for p in out.glob("sample_*.png"))
+    assert pngs == [f"sample_{i:06d}.png" for i in range(6)]
+    with np.load(out / "samples.npz") as z:
+        arr = z["arr_0"]
+    assert arr.shape == (6, 32, 32, 3)
+    assert arr.dtype == np.uint8
+    assert arr.std() > 0  # decoded content, not zeros

@@ -28,6 +28,10 @@ def main() -> None:
     p.add_argument("--preset", default="DiT-XL/1")
     p.add_argument("--in_channels", type=int, default=64)
     p.add_argument("--input_size", type=int, default=16)
+    p.add_argument("--depth", type=int, default=None,
+                   help="override the preset's depth (debug/tiny runs)")
+    p.add_argument("--dim", type=int, default=None,
+                   help="override the preset's width (debug/tiny runs)")
     p.add_argument("--num_samples", type=int, default=50_000)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--num_steps", type=int, default=250)
@@ -49,8 +53,10 @@ def main() -> None:
     from vtp_tpu.generation import VTPTokenizer
     from vtp_tpu.generation.latents import load_latent_stats
 
+    overrides = {k: v for k, v in
+                 (("depth", args.depth), ("dim", args.dim)) if v}
     cfg = make_dit_config(args.preset, in_channels=args.in_channels,
-                          input_size=args.input_size)
+                          input_size=args.input_size, **overrides)
     template = init_dit_state(jax.random.key(0), cfg, DiTTrainConfig(total_steps=1))
     state = restore_train_state(args.dit_ckpt, template)
     params = state["ema"]  # sample from EMA weights

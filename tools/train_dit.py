@@ -34,6 +34,10 @@ def main() -> None:
     p.add_argument("--preset", default="DiT-XL/1")
     p.add_argument("--in_channels", type=int, default=64)
     p.add_argument("--input_size", type=int, default=16)
+    p.add_argument("--depth", type=int, default=None,
+                   help="override the preset's depth (debug/tiny runs)")
+    p.add_argument("--dim", type=int, default=None,
+                   help="override the preset's width (debug/tiny runs)")
     p.add_argument("--batch_size", type=int, default=1024)
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient accumulation: split the global batch "
@@ -79,8 +83,10 @@ def main() -> None:
     )
     from vtp_tpu.parallel import make_mesh
 
+    overrides = {k: v for k, v in
+                 (("depth", args.depth), ("dim", args.dim)) if v}
     cfg = make_dit_config(args.preset, in_channels=args.in_channels,
-                          input_size=args.input_size)
+                          input_size=args.input_size, **overrides)
     tcfg = DiTTrainConfig(
         learning_rate=args.lr, total_steps=args.steps,
         lognorm_mu=args.lognorm_mu, lognorm_sigma=args.lognorm_sigma,
