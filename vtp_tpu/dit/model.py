@@ -249,7 +249,11 @@ def dit_forward(
         # unrolled backward avoids the scan transpose's stacked-grad DUS
         # accumulation (see models/blocks.scan_blocks); ~15% faster train
         # steps on v5e at the cost of compile time
-        for i in range(params["blocks"]["ada"]["kernel"].shape[0]):
+        # depth off the stacked ada weight; "q" when int8-quantized
+        # (utils/quantization.quantize_matmul_params serving trees)
+        ada_w = params["blocks"]["ada"]
+        depth = (ada_w["kernel"] if "kernel" in ada_w else ada_w["q"]).shape[0]
+        for i in range(depth):
             h, _ = body(h, jax.tree.map(lambda a: a[i], params["blocks"]))
     else:
         h, _ = jax.lax.scan(body, h, params["blocks"])
