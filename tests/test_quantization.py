@@ -100,8 +100,18 @@ def test_quantized_model_end_to_end():
                 / (np.linalg.norm(f) * np.linalg.norm(qf) + 1e-12))
     assert cos > 0.99, cos
 
-    # decoder must stay fp (the quality protocol) and be refused
-    with pytest.raises(ValueError):
-        model.quantize_for_serving(parts=("pixel_decoder",))
+    # default serving tree keeps the protocol decode path: fp weights,
+    # fp32 output
     rec = qmodel.get_latents_decoded_images(qlat)
     assert rec.dtype == jnp.float32
+
+    # explicit int8-decoder serving tier: quantized weights force a
+    # bf16 serving decode dtype (never silently the protocol path) and
+    # the images stay close to the fp32 decode of the same latents
+    # (measured 47.8 dB PSNR at VTP-L — PERF.md round 3b)
+    qdec = model.quantize_for_serving(parts=("trunk", "pixel_decoder"))
+    assert "q" in qdec.params["pixel_decoder"]["proj_in"]
+    rec_ref = np.asarray(model.get_latents_decoded_images(qlat), np.float32)
+    rec_q = np.asarray(qdec.get_latents_decoded_images(qlat), np.float32)
+    rel = np.linalg.norm(rec_q - rec_ref) / (np.linalg.norm(rec_ref) + 1e-12)
+    assert np.isfinite(rec_q).all() and rel < 0.2, rel

@@ -305,17 +305,28 @@ class VTPModel:
         the TEXT tower is 0.67x — its 768-dim GEMMs are too small to
         amortize the per-row activation-quant passes (PERF.md round 3) —
         so pass parts=("trunk", "text") only if you've measured a win at
-        your batch shape. The pixel decoder always stays fp32 (the rFID
-        protocol is defined on the fp32 decode path)."""
+        your batch shape.
+
+        "pixel_decoder" is allowed but NOT part of the quality protocol:
+        the rFID numbers are defined on the fp32 decode path. Measured
+        serving tiers at VTP-L 256px (PERF.md round 3b, random-weight
+        proxy, deviation vs the fp32 protocol decode of the same
+        latents): decode_dtype=bf16 alone is 55.9 dB PSNR at ~350 img/s
+        decode-only; int8 decoder + bf16 activations is 47.8 dB, and a
+        full int8 trunk+decoder roundtrip runs 568 img/s vs the
+        protocol's 246."""
         from vtp_tpu.utils.quantization import quantize_matmul_params
 
         params = dict(self.params)
         for part in parts:
-            if part == "pixel_decoder":
-                raise ValueError("the fp32 decode path is the quality "
-                                 "protocol; refusing to quantize it")
             params[part] = quantize_matmul_params(params[part])
-        return VTPModel(self.config, params, self.encode_dtype, self.decode_dtype)
+        decode_dtype = self.decode_dtype
+        if "pixel_decoder" in parts and decode_dtype is None:
+            # int8 weights with fp32 activations would silently
+            # masquerade as the protocol path; force the explicit
+            # serving dtype
+            decode_dtype = jnp.bfloat16
+        return VTPModel(self.config, params, self.encode_dtype, decode_dtype)
 
     # -- reference API (modeling_vtp.py:184-472) ----------------------
 
