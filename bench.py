@@ -283,7 +283,7 @@ def bench_dit() -> None:
         build_dit_microbatch_steps,
         build_dit_train_step,
         init_dit_state,
-        zero_grad_accumulators,
+        run_accum_step,
     )
 
     cfg = make_dit_config("DiT-XL/1")
@@ -306,14 +306,13 @@ def bench_dit() -> None:
         micro, apply_ = build_dit_microbatch_steps(cfg, tcfg)
         micro = jax.jit(micro, donate_argnums=(1, 2))
         apply_ = jax.jit(apply_, donate_argnums=(0, 1, 2))
+        # leading (accum,) microbatch axis (same synthetic batch per
+        # microbatch — throughput bench, not training)
+        lat_a = jnp.broadcast_to(lat, (accum,) + lat.shape)
+        lab_a = jnp.broadcast_to(lab, (accum,) + lab.shape)
 
         def run(state, key):
-            keys = jax.random.split(key, accum)
-            g_sum, m_sum = zero_grad_accumulators(state["params"], tcfg)
-            for i in range(accum):
-                g_sum, m_sum = micro(state["params"], g_sum, m_sum,
-                                     lat, lab, keys[i])
-            return apply_(state, g_sum, m_sum)
+            return run_accum_step(micro, apply_, tcfg, state, lat_a, lab_a, key)
 
     t0 = time.perf_counter()
     state, metrics = run(state, jax.random.key(3))

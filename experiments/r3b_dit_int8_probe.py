@@ -48,7 +48,7 @@ params_bf = jax.device_put(cast_matmul_params(params_f, jnp.bfloat16))
 # quantize everything linear except the final projection (output
 # quality) — embedders/ada included; measure, then reconsider
 params_q = jax.device_put(quantize_matmul_params(
-    params_f, exclude=lambda k: k in ("patch_embed", "final", "x_embed")))
+    params_f, exclude=lambda k: k in ("x_embed", "final")))
 del params_f
 
 # --- single-forward velocity deviation

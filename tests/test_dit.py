@@ -238,7 +238,7 @@ def test_int8_quantized_dit_forward_and_sampler():
         l + 0.02 * jax.random.normal(k, l.shape, jnp.float32).astype(l.dtype)
         for l, k in zip(leaves, ks)])
     q = quantize_matmul_params(
-        params, exclude=lambda k: k in ("patch_embed", "final", "x_embed"))
+        params, exclude=lambda k: k in ("x_embed", "final"))
 
     x = jax.random.normal(jax.random.key(1), (2, 8, 4, 4))
     t = jnp.full((2,), 0.5)

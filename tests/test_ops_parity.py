@@ -432,3 +432,32 @@ def test_fused_attention_fp32_precision_modes(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got6), np.asarray(want), atol=1e-5)
     # 3-pass vs 6-pass: bf16x3 residual only (<< any bf16 path noise)
     np.testing.assert_allclose(np.asarray(got3), np.asarray(got6), atol=1e-4)
+
+
+def test_fused_attention_fallback_zero_rope_cotangents(rng, monkeypatch):
+    """The recompute-VJP fallback (fp32 configs, VMEM-gated qk-norm
+    shapes, VTP_DISABLE_BWD_KERNEL) must ALSO return zero rope-table
+    cotangents — training semantics must not depend on which arm the
+    dispatch picked (the periods are a non-trained buffer in the
+    reference, embeddings.py:124-128)."""
+    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("VTP_DISABLE_BWD_KERNEL", "1")
+    from vtp_tpu.ops.flash_attention import fused_qkv_rope_attention
+
+    B, N, H, d = 1, 8, 2, 32
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * d)), jnp.bfloat16)
+    sin_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+    cos_t = jnp.asarray(rng.standard_normal((N, d)) * 0.5, jnp.bfloat16)
+    qs = jnp.ones((d,), jnp.float32)
+    ks = jnp.ones((d,), jnp.float32)
+
+    def loss(x, s, c, wq, wk):
+        return jnp.sum(fused_qkv_rope_attention(
+            x, s, c, H, q_scale=wq, k_scale=wk).astype(jnp.float32) ** 2)
+
+    gx, gs, gc, gwq, gwk = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        qkv, sin_t, cos_t, qs, ks)
+    assert float(jnp.abs(gx).max()) > 0
+    assert float(jnp.abs(gs).max()) == 0.0
+    assert float(jnp.abs(gc).max()) == 0.0
+    assert float(jnp.abs(gwq).max()) > 0  # scale grads still flow

@@ -72,7 +72,7 @@ def main() -> None:
         # bf16; everything else (block qkv/proj/mlp/ada, embed MLPs)
         # serves int8 through ops.ffn.linear's dispatch
         params = quantize_matmul_params(
-            params, exclude=lambda k: k in ("patch_embed", "final", "x_embed"))
+            params, exclude=lambda k: k in ("x_embed", "final"))
     tokenizer = VTPTokenizer.from_checkpoint(args.model_path)
     stats = load_latent_stats(args.latent_dir)
 

@@ -114,10 +114,7 @@ def main() -> None:
     if mesh is not None:
         state = jax.device_put(state, NamedSharding(mesh, P()))
     if host_accum:
-        from vtp_tpu.dit.train import (
-            build_dit_microbatch_steps,
-            zero_grad_accumulators,
-        )
+        from vtp_tpu.dit.train import build_dit_microbatch_steps
 
         micro_raw, apply_raw = build_dit_microbatch_steps(cfg, tcfg)
         micro_fn = jax.jit(micro_raw, donate_argnums=(1, 2))
@@ -143,15 +140,10 @@ def main() -> None:
             y = jax.device_put(y, NamedSharding(mesh, P(*lead, "data")))
         key = jax.random.fold_in(jax.random.key(args.seed), step)
         if host_accum:
-            # same per-microbatch key derivation as the in-jit scan
-            # variant (build_dit_train_step) so the two accumulation
-            # implementations produce identical updates
-            keys = jax.random.split(key, accum)
-            g_sum, m_sum = zero_grad_accumulators(state["params"], tcfg)
-            for i in range(accum):
-                g_sum, m_sum = micro_fn(
-                    state["params"], g_sum, m_sum, z[i], y[i], keys[i])
-            state, metrics = apply_fn(state, g_sum, m_sum)
+            from vtp_tpu.dit.train import run_accum_step
+
+            state, metrics = run_accum_step(
+                micro_fn, apply_fn, tcfg, state, z, y, key)
         else:
             state, metrics = step_fn(state, z, y, key)
         if (step + 1) % args.log_every == 0:

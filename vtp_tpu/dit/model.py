@@ -173,7 +173,8 @@ def _dit_block(x: jax.Array, cond: jax.Array, p: dict, cfg: DiTConfig,
             fused_qkv_rope_attention,
         )
 
-        use_fused = fused_attention_supported((B, N, 3 * D), qkv.dtype, nh)
+        use_fused = fused_attention_supported((B, N, 3 * D), qkv.dtype, nh,
+                                              qk_norm=cfg.use_qk_norm)
     if use_fused:
         o = fused_qkv_rope_attention(
             qkv, rope[0] if rope else None, rope[1] if rope else None, nh,

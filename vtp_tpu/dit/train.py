@@ -111,6 +111,24 @@ def _make_loss_and_grads(cfg: DiTConfig, tcfg: DiTTrainConfig):
     return _loss_and_grads
 
 
+def _apply_grads(optimizer, tcfg: DiTTrainConfig, state: Dict, grads, metrics):
+    """Shared optimizer/EMA/step tail of both accumulation
+    implementations (in-jit scan and host-driven microbatch loop) —
+    one copy so a clipping/EMA change cannot diverge them."""
+    updates, opt_state = optimizer.update(
+        grads, state["opt_state"], state["params"])
+    params = optax.apply_updates(state["params"], updates)
+    new_state = {
+        "params": params,
+        "ema": ema_update(state["ema"], params, tcfg.ema_decay),
+        "opt_state": opt_state,
+        "step": state["step"] + 1,
+    }
+    metrics = dict(metrics)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return new_state, metrics
+
+
 def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
     optimizer = make_dit_optimizer(tcfg)
     _loss_and_grads = _make_loss_and_grads(cfg, tcfg)
@@ -141,16 +159,7 @@ def build_dit_train_step(cfg: DiTConfig, tcfg: DiTTrainConfig):
             grads = jax.tree.map(lambda g: g / accum, g_sum)
             metrics = jax.tree.map(lambda m: m / accum, m_sum)
 
-        updates, opt_state = optimizer.update(grads, state["opt_state"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
-        new_state = {
-            "params": params,
-            "ema": ema_update(state["ema"], params, tcfg.ema_decay),
-            "opt_state": opt_state,
-            "step": state["step"] + 1,
-        }
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+        return _apply_grads(optimizer, tcfg, state, grads, metrics)
 
     return train_step
 
@@ -187,30 +196,35 @@ def build_dit_microbatch_steps(cfg: DiTConfig, tcfg: DiTTrainConfig):
     def apply_step(state, g_sum, m_sum):
         grads = jax.tree.map(lambda g: g.astype(jnp.float32) / accum, g_sum)
         metrics = jax.tree.map(lambda m: m / accum, m_sum)
-        updates, opt_state = optimizer.update(
-            grads, state["opt_state"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
-        new_state = {
-            "params": params,
-            "ema": ema_update(state["ema"], params, tcfg.ema_decay),
-            "opt_state": opt_state,
-            "step": state["step"] + 1,
-        }
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return new_state, metrics
+        return _apply_grads(optimizer, tcfg, state, grads, metrics)
 
     return micro_step, apply_step
 
 
+def run_accum_step(micro_fn, apply_fn, tcfg: DiTTrainConfig, state: Dict,
+                   latents: jax.Array, labels: jax.Array, key: jax.Array):
+    """Drive ONE optimizer step of host accumulation: latents/labels
+    carry a leading (accum_steps,) microbatch axis; the key splits per
+    microbatch exactly like build_dit_train_step's in-jit scan (the
+    equality test pins this contract). ``micro_fn``/``apply_fn`` are
+    the (jitted) pair from build_dit_microbatch_steps."""
+    keys = jax.random.split(key, tcfg.accum_steps)
+    g_sum, m_sum = zero_grad_accumulators(state["params"], tcfg)
+    for i in range(tcfg.accum_steps):
+        g_sum, m_sum = micro_fn(state["params"], g_sum, m_sum,
+                                latents[i], labels[i], keys[i])
+    return apply_fn(state, g_sum, m_sum)
+
+
 def zero_grad_accumulators(params, tcfg: DiTTrainConfig):
-    """Fresh (g_sum, m_sum) trees for the microbatch loop (keys match
-    transport.training_losses' metrics for this config)."""
-    keys = ["loss/mse", "loss/transport"]
-    if tcfg.use_cosine_loss:
-        keys.insert(1, "loss/cos")
+    """Fresh (g_sum, m_sum) trees for the microbatch loop (metric keys
+    come from transport.metric_keys — the single source)."""
+    from vtp_tpu.dit.transport import metric_keys
+
     adt = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[tcfg.accum_dtype]
     g_sum = jax.tree.map(lambda p: jnp.zeros(p.shape, adt), params)
-    m_sum = {k: jnp.zeros((), jnp.float32) for k in keys}
+    m_sum = {k: jnp.zeros((), jnp.float32)
+             for k in metric_keys(tcfg.use_cosine_loss)}
     return g_sum, m_sum
 
 

@@ -74,6 +74,17 @@ def training_losses(
     return loss, metrics
 
 
+def metric_keys(use_cosine_loss: bool) -> tuple:
+    """Keys of the metrics dict training_losses returns for this
+    config — the single source for accumulator trees
+    (dit/train.zero_grad_accumulators)."""
+    keys = ["loss/mse"]
+    if use_cosine_loss:
+        keys.append("loss/cos")
+    keys.append("loss/transport")
+    return tuple(keys)
+
+
 def shift_timesteps(t: jax.Array, shift: float) -> jax.Array:
     """Resolution-dependent timestep shift (SD3-style):
     t' = shift * t / (1 + (shift - 1) * t). The reference configs use

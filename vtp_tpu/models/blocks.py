@@ -189,7 +189,8 @@ def attention_apply(
                 fused_qkv_rope_attention,
             )
 
-            if fused_attention_supported((b, n, 3 * d), qkv.dtype, nh):
+            if fused_attention_supported((b, n, 3 * d), qkv.dtype, nh,
+                                         qk_norm=cfg.use_qk_norm):
                 # fp32 (decode parity mode): follow the ambient matmul
                 # precision so in-kernel dots match the XLA GEMMs
                 # ('float32' -> 6-pass exact, 'high' -> 3-pass bf16x3)

@@ -321,10 +321,10 @@ class VTPModel:
         for part in parts:
             params[part] = quantize_matmul_params(params[part])
         decode_dtype = self.decode_dtype
-        if "pixel_decoder" in parts and decode_dtype is None:
-            # int8 weights with fp32 activations would silently
-            # masquerade as the protocol path; force the explicit
-            # serving dtype
+        if "pixel_decoder" in parts and decode_dtype != jnp.bfloat16:
+            # int8 decoder weights under a fp32 activation dtype would
+            # silently masquerade as the protocol decode path (None and
+            # explicit float32 alike); force the serving dtype
             decode_dtype = jnp.bfloat16
         return VTPModel(self.config, params, self.encode_dtype, decode_dtype)
 

@@ -81,10 +81,13 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
     o_ref[0] = out.astype(o_ref.dtype)
 
 
-def fused_attention_supported(qkv_shape, dtype, num_heads: int) -> bool:
+def fused_attention_supported(qkv_shape, dtype, num_heads: int,
+                              qk_norm: bool = False) -> bool:
     """(B, N, 3D) fused qkv+rope+attention kernel support check.
     bf16 uses DEFAULT-precision dots; fp32 (the decoder's parity mode)
-    uses HIGHEST (6-pass, fp32-accurate)."""
+    uses HIGHEST (6-pass, fp32-accurate). ``qk_norm`` accounts for the
+    slab-norm arm's extra VMEM: the (D, D) block-diagonal stats matrix
+    plus fp32 (N, D) rsqrt/normalized intermediates."""
     if dtype == jnp.bfloat16:
         itemsize = 2
     elif dtype == jnp.float32:
@@ -92,12 +95,15 @@ def fused_attention_supported(qkv_shape, dtype, num_heads: int) -> bool:
     else:
         return False
     B, N, three_d = qkv_shape
-    d = three_d // 3 // num_heads
+    D = three_d // 3
+    d = D // num_heads
     if d not in (32, 64, 128) or d * num_heads * 3 != three_d:
         return False
     if not (2 <= N <= _MAX_SEQ_FULL):
         return False
     vmem = (qkv_shape[1] * three_d * itemsize) * 2 + 2 * N * N * 4
+    if qk_norm:
+        vmem += D * D * itemsize + 4 * N * D * 4
     return vmem < 12 * 1024 * 1024
 
 
@@ -201,7 +207,13 @@ def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False,
             ),
             *res,
         )
-        return vjp(g)
+        d_qkv, d_sin, d_cos, d_qs, d_ks = vjp(g)
+        # RoPE periods are a non-trained buffer in the reference
+        # (embeddings.py:124-128): zero the table cotangents here too,
+        # so training semantics don't depend on which arm (kernel vs
+        # recompute fallback) the dispatch picked.
+        return d_qkv, zt(sin) if d_sin is not None else None, \
+            zt(cos) if d_cos is not None else None, d_qs, d_ks
 
     f.defvjp(fwd, bwd)
     return f
@@ -417,6 +429,11 @@ def _fused_kernel_call(
             bytes_accessed=B * N * (three_d + D) * qkv.dtype.itemsize,
             transcendentals=B * H * N * N,
         ),
+        # qk-norm slab arm: headroom above the 16 MB default scoped
+        # limit (the gate budgets it, but near the edge Mosaic's own
+        # accounting can exceed the default — same as the backward)
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024) if use_qk_norm else None),
         interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
     )(*inputs)
 
