@@ -66,7 +66,41 @@ def main() -> None:
 
     assert float(total) == float(np.sum(data)), float(total)
     assert float(psum_total) == float(np.sum(data)), float(psum_total)
-    print(f"MULTIHOST-OK pid={pid} sum={float(total)}", flush=True)
+
+    # --- DiT training step across the cluster: per-host latent shards
+    # assemble into a global data-sharded batch, replicated state, one
+    # jitted step (tools/train_dit.py's layout over DCN)
+    from vtp_tpu.dit.model import make_dit_config
+    from vtp_tpu.dit.train import (
+        DiTTrainConfig,
+        build_dit_train_step,
+        init_dit_state,
+    )
+
+    dcfg = make_dit_config("DiT-B/1", depth=2, dim=128, num_heads=4,
+                           in_channels=8, input_size=4)
+    dtcfg = DiTTrainConfig(remat=False, unroll_layers=True)
+    dstate = init_dit_state(jax.random.key(0), dcfg, dtcfg)
+    dstate = jax.device_put(dstate, NamedSharding(mesh, P()))
+    step = jax.jit(build_dit_train_step(dcfg, dtcfg), donate_argnums=(0,))
+    B = 8  # global batch; each host contributes 4 rows
+    rng = np.random.default_rng(0)  # same stream; hosts slice their rows
+    lat_global = rng.normal(size=(B, 8, 4, 4)).astype(np.float32)
+    lab_global = rng.integers(0, dcfg.num_classes, B)
+    lat = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data", None, None, None)),
+        lat_global[pid * 4:(pid + 1) * 4], (B, 8, 4, 4))
+    lab = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), lab_global[pid * 4:(pid + 1) * 4],
+        (B,))
+    losses = []
+    for i in range(2):
+        dstate, m = step(dstate, lat, lab, jax.random.key(3 + i))
+        losses.append(float(m["loss/transport"]))
+    assert all(np.isfinite(v) for v in losses), losses
+
+    print(f"MULTIHOST-OK pid={pid} sum={float(total)} "
+          f"dit_loss={losses[-1]:.4f}", flush=True)
 
 
 if __name__ == "__main__":

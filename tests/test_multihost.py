@@ -47,3 +47,7 @@ def test_two_process_cluster():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
         assert f"MULTIHOST-OK pid={pid} sum=120.0" in out, out
+    # SPMD determinism: the DiT step's global loss must agree across
+    # both hosts (each printed it from its own process)
+    losses = [out.split("dit_loss=")[1].split()[0] for out in outs]
+    assert losses[0] == losses[1], losses
