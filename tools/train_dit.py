@@ -45,6 +45,10 @@ def main() -> None:
     p.add_argument("--accum_dtype", default="fp32", choices=["fp32", "bf16"],
                    help="accumulator dtype; bf16 fits DiT-XL/1 "
                         "accumulation on one 16 GB chip (fp32 does not)")
+    p.add_argument("--moment_dtype", default="fp32", choices=["fp32", "bf16"],
+                   help="Adam moment storage; bf16 halves optimizer HBM "
+                        "traffic and frees one fp32 param copy of state "
+                        "(sub-percent update noise — train/optim.py)")
     p.add_argument("--steps", type=int, default=100_000)
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--lognorm_mu", type=float, default=-0.75)
@@ -95,6 +99,7 @@ def main() -> None:
         unroll_layers=not args.no_unroll_layers,
         accum_steps=args.accum_steps,
         accum_dtype=args.accum_dtype,
+        moment_dtype=args.moment_dtype,
     )
     if args.batch_size % args.accum_steps:
         raise SystemExit("batch_size must divide by accum_steps")

@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument("--local_size", type=int, default=96)
     p.add_argument("--mask_ratio", type=float, default=0.3)
     p.add_argument("--compute_dtype", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--moment_dtype", default="fp32", choices=["fp32", "bf16"],
+                   help="Adam moment storage; bf16 halves optimizer HBM "
+                        "traffic and frees one fp32 param copy of state "
+                        "(sub-percent update noise — train/optim.py)")
     p.add_argument("--remat", default="full",
                    choices=["off", "full", "dots", "attn", "dots_attn"],
                    help="gradient-checkpoint policy (models/blocks.remat_wrap); "
@@ -259,6 +263,7 @@ def main(argv=None) -> None:
         unroll_layers=(args.unroll_chunk or args.unroll_layers),
         drop_shards=n_data,
         accum_steps=args.accum_steps,
+        moment_dtype=args.moment_dtype,
     )
 
     state = init_state(jax.random.key(args.seed), cfg, tcfg)

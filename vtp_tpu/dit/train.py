@@ -20,6 +20,7 @@ import optax
 
 from vtp_tpu.dit.model import DiTConfig, dit_forward, init_dit_params
 from vtp_tpu.dit.transport import training_losses
+from vtp_tpu.train.optim import adamw, resolve_moment_dtype
 from vtp_tpu.train.state import ema_update
 
 
@@ -53,6 +54,10 @@ class DiTTrainConfig:
     # under the pressure, then OOMs) — "bf16" halves it and fits.
     # Multi-chip sharding makes this moot (state/8 per chip).
     accum_dtype: str = "fp32"
+    # Adam moment storage dtype: "fp32" (bit-exact optax/torch AdamW)
+    # or "bf16" (halves optimizer HBM traffic + frees one fp32 param
+    # copy of state memory at DiT-XL scale — train/optim.py)
+    moment_dtype: str = "fp32"
 
     @property
     def jnp_compute_dtype(self):
@@ -69,8 +74,9 @@ def make_dit_optimizer(tcfg: DiTTrainConfig) -> optax.GradientTransformation:
         schedule = tcfg.learning_rate
     return optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip),
-        optax.adamw(schedule, b1=tcfg.beta1, b2=tcfg.beta2,
-                    weight_decay=tcfg.weight_decay),
+        adamw(schedule, b1=tcfg.beta1, b2=tcfg.beta2,
+              weight_decay=tcfg.weight_decay,
+              moment_dtype=resolve_moment_dtype(tcfg.moment_dtype)),
     )
 
 

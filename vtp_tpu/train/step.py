@@ -50,6 +50,7 @@ from vtp_tpu.train.losses import (
     siglip_loss,
     update_center,
 )
+from vtp_tpu.train.optim import adamw, resolve_moment_dtype
 from vtp_tpu.train.state import TrainState, create_train_state, ema_update, make_teacher
 
 
@@ -114,6 +115,10 @@ class TrainConfig:
     # each microbatch independently — the standard accumulation
     # semantics (negatives don't cross microbatches).
     accum_steps: int = 1
+    # Adam moment storage dtype: "fp32" (bit-exact optax/torch AdamW)
+    # or "bf16" (halves optimizer HBM traffic + one fp32 param copy of
+    # state memory; sub-percent update noise — train/optim.py)
+    moment_dtype: str = "fp32"
 
     @property
     def jnp_compute_dtype(self):
@@ -131,8 +136,10 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
     )
     return optax.chain(
         optax.clip_by_global_norm(tcfg.grad_clip),
-        optax.adamw(
-            schedule, b1=tcfg.beta1, b2=tcfg.beta2, weight_decay=tcfg.weight_decay
+        adamw(
+            schedule, b1=tcfg.beta1, b2=tcfg.beta2,
+            weight_decay=tcfg.weight_decay,
+            moment_dtype=resolve_moment_dtype(tcfg.moment_dtype),
         ),
     )
 
