@@ -123,3 +123,27 @@ def test_train_step_runs_with_bf16_moments():
     step = jax.jit(build_train_step(cfg, tcfg))
     state, metrics = step(state, batch, jax.random.key(3))
     assert np.isfinite(float(metrics["loss/total"]))
+
+
+def test_bf16_moments_checkpoint_roundtrip(tmp_path):
+    """orbax save/restore preserves bf16 moment dtype and values (the
+    restore template comes from a fresh init with the same tcfg)."""
+    from vtp_tpu.checkpoint import restore_train_state, save_train_state
+    from vtp_tpu.dit.model import make_dit_config
+    from vtp_tpu.dit.train import DiTTrainConfig, build_dit_train_step, init_dit_state
+
+    cfg = make_dit_config("DiT-B/1", depth=1, dim=64, num_heads=2,
+                          in_channels=4, input_size=4)
+    tcfg = DiTTrainConfig(remat=False, unroll_layers=True, moment_dtype="bf16")
+    state = init_dit_state(jax.random.key(0), cfg, tcfg)
+    step = jax.jit(build_dit_train_step(cfg, tcfg), donate_argnums=(0,))
+    lat = jax.random.normal(jax.random.key(1), (2, 4, 4, 4))
+    lab = jnp.zeros((2,), jnp.int32)
+    state, _ = step(state, lat, lab, jax.random.key(2))
+
+    save_train_state(str(tmp_path / "t"), state, step=1)
+    template = init_dit_state(jax.random.key(3), cfg, tcfg)
+    restored = restore_train_state(str(tmp_path / "t"), template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
