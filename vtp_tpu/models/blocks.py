@@ -35,6 +35,8 @@ from vtp_tpu.ops.ffn import ffn_align_to, linear, mlp, swiglu, swiglu_hidden_dim
 from vtp_tpu.ops.norms import apply_norm, norm_eps
 from vtp_tpu.ops.rope import apply_rope_with_prefix
 from vtp_tpu.ops.norms import rms_norm
+from vtp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from vtp_tpu.parallel.sharding import maybe_constrain
 
 Rope = Optional[Tuple[jax.Array, jax.Array]]
 
@@ -158,7 +160,6 @@ def attention_apply(
     force two full relayouts of odd-N tensors per block, which measures
     as ~2x the encoder's non-GEMM time on v5e.
     """
-    import os
 
     nh, hd = cfg.num_heads, cfg.head_dim
     qkv_p = p["qkv"]
@@ -174,6 +175,11 @@ def attention_apply(
         )
         qkv_p = dict(qkv_p, bias=qkv_p["bias"] * mask)
     qkv_flat = linear(flat_normed, qkv_p, compute_dtype)
+    # Megatron layout: packed rows are batch-major (shard over data);
+    # the column-parallel qkv output features shard over model. Pinned
+    # here because GSPMD propagation through the scan/remat backward
+    # otherwise loses it ("[SPMD] Involuntary full rematerialization").
+    qkv_flat = maybe_constrain(qkv_flat, DATA_AXIS, MODEL_AXIS)
     if n_valids is None:
         n_valids = [n for _, n in shapes]
     outs = []
@@ -182,8 +188,9 @@ def attention_apply(
         qkv = jax.lax.slice_in_dim(qkv_flat, off, off + b * n, axis=0)
         d = cfg.dim
 
-        if (jax.default_backend() == "tpu"
-                and not os.environ.get("VTP_DISABLE_FLASH")):
+        from vtp_tpu.ops.flash_attention import pallas_enabled
+
+        if pallas_enabled():
             from vtp_tpu.ops.flash_attention import (
                 fused_attention_supported,
                 fused_qkv_rope_attention,
@@ -226,6 +233,9 @@ def attention_apply(
     # the attention output keeps the backward from re-running the flash
     # kernel (the proj dW needs it as an operand).
     out_flat = checkpoint_name(out_flat, "attn_out")
+    # attention output heads live on the model axis (row-parallel proj
+    # input); its GEMM emits partial sums that GSPMD all-reduces
+    out_flat = maybe_constrain(out_flat, DATA_AXIS, MODEL_AXIS)
     return linear(out_flat, p["proj"], compute_dtype)
 
 
@@ -246,12 +256,12 @@ def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array,
               n_valid: int = 0) -> jax.Array:
     """SDPA over (B, N, H, hd) without host-side transposes.
     ``n_valid`` masks trailing padded key columns (token alignment)."""
-    import os
+
+    from vtp_tpu.ops.flash_attention import pallas_enabled
 
     n = q.shape[1]
-    if (jax.default_backend() == "tpu" and q.dtype == jnp.bfloat16
-            and (not n_valid or n_valid == n)
-            and not os.environ.get("VTP_DISABLE_FLASH")):
+    if (pallas_enabled() and q.dtype == jnp.bfloat16
+            and (not n_valid or n_valid == n)):
         from vtp_tpu.ops.flash_attention import flash_attention_bnhd, flash_supported_bnhd
 
         if flash_supported_bnhd(q, k, v):
@@ -302,15 +312,18 @@ def block_apply(
             n_valids=n_valids,
         )
 
+    # residual streams: batch over data, features replicated (Megatron
+    # activations are full between the column/row-parallel GEMM pairs)
+    res_spec = lambda x: maybe_constrain(x, DATA_AXIS, None, None)
     flat, shapes = pack(xs)
     n1 = apply_norm(flat, p["norm1"], cfg.norm_kind, cfg.eps)
     attn_out = _maybe_ls(attention_apply(n1, shapes, p["attn"], cfg, ropes, compute_dtype, n_valids), p, "ls1")
-    xs = tuple(x + r for x, r in zip(xs, unpack(attn_out, shapes)))
+    xs = tuple(res_spec(x + r) for x, r in zip(xs, unpack(attn_out, shapes)))
 
     flat2, _ = pack(xs)
     n2 = apply_norm(flat2, p["norm2"], cfg.norm_kind, cfg.eps)
     ffn_out = _maybe_ls(_ffn_apply(n2, p["mlp"], cfg, compute_dtype), p, "ls2")
-    return tuple(x + r for x, r in zip(xs, unpack(ffn_out, shapes)))
+    return tuple(res_spec(x + r) for x, r in zip(xs, unpack(ffn_out, shapes)))
 
 
 def drop_keep_count(batch: int, drop_ratio: float, shards: int = 1) -> int:
@@ -345,13 +358,18 @@ def _block_apply_droppath(
         keep = drop_keep_count(b, drop_ratio, drop_shards)
         idx1.append(sample_drop_indices(keys[i], b, keep))
         scales1.append(b / keep)
-    sub = [x[ix] for x, ix in zip(xs, idx1)]
+    # keep the gathered batch subsets batch-sharded: the x[idx] gather's
+    # output sharding is data-dependent to GSPMD, and without the pin
+    # the scan/remat backward replicates it ("[SPMD] Involuntary full
+    # rematerialization" in the dryrun artifact)
+    sub_spec = lambda t: maybe_constrain(t, DATA_AXIS, None, None)
+    sub = [sub_spec(x[ix]) for x, ix in zip(xs, idx1)]
     sub_ropes = [_index_rope(r, ix) for r, ix in zip(ropes, idx1)]
     flat, shapes = pack(sub)
     n1 = apply_norm(flat, p["norm1"], cfg.norm_kind, cfg.eps)
     attn_out = _maybe_ls(attention_apply(n1, shapes, p["attn"], cfg, sub_ropes, compute_dtype, n_valids), p, "ls1")
     xs = tuple(
-        _residual_scatter(x, r, ix, s)
+        sub_spec(_residual_scatter(x, r, ix, s))
         for x, r, ix, s in zip(xs, unpack(attn_out, shapes), idx1, scales1)
     )
 
@@ -362,12 +380,12 @@ def _block_apply_droppath(
         keep = drop_keep_count(b, drop_ratio, drop_shards)
         idx2.append(sample_drop_indices(keys[len(xs) + i], b, keep))
         scales2.append(b / keep)
-    sub2 = [x[ix] for x, ix in zip(xs, idx2)]
+    sub2 = [sub_spec(x[ix]) for x, ix in zip(xs, idx2)]
     flat2, shapes2 = pack(sub2)
     n2 = apply_norm(flat2, p["norm2"], cfg.norm_kind, cfg.eps)
     ffn_out = _maybe_ls(_ffn_apply(n2, p["mlp"], cfg, compute_dtype), p, "ls2")
     return tuple(
-        _residual_scatter(x, r, ix, s)
+        sub_spec(_residual_scatter(x, r, ix, s))
         for x, r, ix, s in zip(xs, unpack(ffn_out, shapes2), idx2, scales2)
     )
 

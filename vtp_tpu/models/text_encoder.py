@@ -117,7 +117,9 @@ def _text_block(x: jax.Array, p: dict, cfg: TextConfig,
     mask) through the fused Pallas kernel on TPU — the zero-shot
     classifier build runs 12 of these over 80k texts
     (test_zero_shot_hf.py:342-394)."""
-    import os
+
+    from vtp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from vtp_tpu.parallel.sharding import maybe_constrain
 
     B, L, W = x.shape
     nh, hd = cfg.heads, cfg.head_dim
@@ -125,11 +127,14 @@ def _text_block(x: jax.Array, p: dict, cfg: TextConfig,
 
     h = layer_norm(x, p["ln_1"]["scale"], p["ln_1"]["bias"], cfg.ln_eps)
     qkv = linear(h, p["attn"]["in_proj"], compute_dtype)
+    # Megatron layout pins (see models/blocks.attention_apply): batch
+    # over data, column-parallel in_proj features over model
+    qkv = maybe_constrain(qkv, DATA_AXIS, None, MODEL_AXIS)
+
+    from vtp_tpu.ops.flash_attention import pallas_enabled
 
     o = None
-    if (is_causal and attn_mask is None
-            and jax.default_backend() == "tpu"
-            and not os.environ.get("VTP_DISABLE_FLASH")):
+    if is_causal and attn_mask is None and pallas_enabled():
         from vtp_tpu.ops.flash_attention import (
             fused_attention_supported,
             fused_qkv_rope_attention,
@@ -141,16 +146,19 @@ def _text_block(x: jax.Array, p: dict, cfg: TextConfig,
         qh = qkv.reshape(B, L, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         o = sdpa(qh[0], qh[1], qh[2], bias=attn_mask, is_causal=is_causal and attn_mask is None)
         o = o.transpose(0, 2, 1, 3).reshape(B, L, W)
+    o = maybe_constrain(o, DATA_AXIS, None, MODEL_AXIS)
     o = linear(o, p["attn"]["out_proj"], compute_dtype)
     if "ls_1" in p:
         o = o * p["ls_1"]["gamma"]
-    x = x + o
+    x = maybe_constrain(x + o, DATA_AXIS, None, None)
 
     h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"], cfg.ln_eps)
-    h = linear(act(linear(h, p["mlp"]["c_fc"], compute_dtype)), p["mlp"]["c_proj"], compute_dtype)
+    h = act(linear(h, p["mlp"]["c_fc"], compute_dtype))
+    h = maybe_constrain(h, DATA_AXIS, None, MODEL_AXIS)
+    h = linear(h, p["mlp"]["c_proj"], compute_dtype)
     if "ls_2" in p:
         h = h * p["ls_2"]["gamma"]
-    return x + h
+    return maybe_constrain(x + h, DATA_AXIS, None, None)
 
 
 def causal_mask(n: int) -> jax.Array:

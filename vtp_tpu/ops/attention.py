@@ -62,12 +62,9 @@ def sdpa(
     """Dispatching SDPA: Pallas flash kernel on TPU when supported,
     einsum reference otherwise."""
     if use_flash is None:
-        import os
+        from vtp_tpu.ops.flash_attention import pallas_enabled
 
-        if os.environ.get("VTP_DISABLE_FLASH"):
-            use_flash = False
-        else:
-            use_flash = jax.default_backend() == "tpu"
+        use_flash = pallas_enabled()
     if use_flash and bias is None:
         from vtp_tpu.ops.flash_attention import flash_attention, flash_supported
 

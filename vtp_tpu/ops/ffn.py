@@ -50,6 +50,17 @@ def _linear(x: jax.Array, p: dict, compute_dtype: Optional[jnp.dtype]) -> jax.Ar
 linear = _linear
 
 
+def _constrain_hidden(h: jax.Array) -> jax.Array:
+    """Pin the up-projection output to the Megatron layout (batch over
+    ``data``, hidden features over ``model``) under an ambient mesh —
+    GSPMD propagation through the scan/remat backward otherwise loses
+    it and replicates the (rows, hidden) activations (VERDICT r3)."""
+    from vtp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from vtp_tpu.parallel.sharding import maybe_constrain
+
+    return maybe_constrain(h, DATA_AXIS, *(None,) * (h.ndim - 2), MODEL_AXIS)
+
+
 def swiglu(x: jax.Array, params: dict, compute_dtype: Optional[jnp.dtype] = None) -> jax.Array:
     """SwiGLU: ``w3(silu(w1 x) * w2 x)`` (ffn.py:77-81).
 
@@ -60,8 +71,8 @@ def swiglu(x: jax.Array, params: dict, compute_dtype: Optional[jnp.dtype] = None
         h12 = _linear(x, params["w12"], compute_dtype)
         x1, x2 = jnp.split(h12, 2, axis=-1)
     else:
-        x1 = _linear(x, params["w1"], compute_dtype)
-        x2 = _linear(x, params["w2"], compute_dtype)
+        x1 = _constrain_hidden(_linear(x, params["w1"], compute_dtype))
+        x2 = _constrain_hidden(_linear(x, params["w2"], compute_dtype))
     return _linear(jax.nn.silu(x1) * x2, params["w3"], compute_dtype)
 
 
@@ -72,5 +83,5 @@ def mlp(
     compute_dtype: Optional[jnp.dtype] = None,
 ) -> jax.Array:
     """Standard 2-layer MLP (ffn.py:21-48)."""
-    h = act(_linear(x, params["fc1"], compute_dtype))
+    h = act(_constrain_hidden(_linear(x, params["fc1"], compute_dtype)))
     return _linear(h, params["fc2"], compute_dtype)

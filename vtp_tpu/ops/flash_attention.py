@@ -16,6 +16,14 @@ with fp32 accumulation; fp32 (the decoder's parity mode) uses HIGHEST
 pure-JAX recompute. ``flash_attention``/``flash_attention_bnhd`` are
 earlier standalone variants kept for aligned-shape callers; the einsum
 path in ``vtp_tpu.ops.attention`` is the parity oracle.
+
+SPMD: ``pallas_call`` has no GSPMD partitioning rule, so under a
+multi-device mesh (ambient via ``jax.set_mesh``) every kernel here runs
+per-shard inside ``jax.shard_map`` over the data (batch) axis — batch
+rows are independent, mirroring how the reference's SDPA composes with
+DDP for free (vtp/models/layers/attention.py:124). Unsupported layouts
+(batch not divisible by the data axis, tensor-parallel model axis) fall
+back to the XLA path, which GSPMD shards correctly (see ``_mesh_ok``).
 """
 
 from __future__ import annotations
@@ -34,6 +42,79 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def pallas_enabled() -> bool:
+    """Whether kernel dispatch sites should consider the Pallas path:
+    on the TPU backend, or anywhere under ``VTP_PALLAS_INTERPRET=1``
+    (interpret mode — used by the CPU-mesh kernel×sharding tests and
+    the driver dryrun's kernel leg). ``VTP_DISABLE_FLASH=1`` force-picks
+    the XLA fallback (the parity oracle)."""
+    import os
+
+    if os.environ.get("VTP_DISABLE_FLASH"):
+        return False
+    if os.environ.get("VTP_PALLAS_INTERPRET"):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _mesh_batch_shards():
+    """(ambient mesh, data-axis size); (None, 1) when single-device."""
+    from vtp_tpu.parallel.mesh import DATA_AXIS, active_mesh, mesh_axis_size
+
+    mesh = active_mesh()
+    if mesh is None:
+        return None, 1
+    return mesh, mesh_axis_size(mesh, DATA_AXIS)
+
+
+def _mesh_ok(batch: int) -> bool:
+    """Kernel×mesh composability gate. ``pallas_call`` has no SPMD
+    partitioning rule (see ops/fused_ce.py), so under a multi-device
+    mesh the attention kernels run per-shard inside ``jax.shard_map``
+    over the data (batch) axis — this requires a clean batch split.
+    Tensor-parallel meshes (model axis > 1) fall back to the XLA path:
+    TP shards the qkv features/heads over ``model`` and GSPMD keeps the
+    einsum attention head-sharded, whereas the batch-sharded kernel
+    would force an all-gather of the features every layer."""
+    from vtp_tpu.parallel.mesh import MODEL_AXIS, mesh_axis_size
+
+    mesh, n = _mesh_batch_shards()
+    if mesh is None:
+        return True
+    if mesh_axis_size(mesh, MODEL_AXIS) > 1:
+        return False
+    return n == 1 or batch % n == 0
+
+
+def _dispatch_sharded(fn, inputs, batched, out_ranks):
+    """Run ``fn(*inputs)`` directly (single-device) or inside
+    ``jax.shard_map`` over the data axis of the ambient mesh.
+
+    ``batched`` flags which inputs carry a leading batch dim (sharded
+    over ``data``; the rest are replicated). ``out_ranks`` gives the
+    rank of each batch-leading output (list => fn returns a list).
+    Callers must have passed the :func:`_mesh_ok` gate."""
+    mesh, n = _mesh_batch_shards()
+    if mesh is None or n <= 1:
+        return fn(*inputs)
+    from jax.sharding import PartitionSpec as P
+
+    from vtp_tpu.parallel.mesh import DATA_AXIS
+
+    in_specs = tuple(
+        P(DATA_AXIS, *(None,) * (a.ndim - 1)) if b else P(*(None,) * a.ndim)
+        for a, b in zip(inputs, batched)
+    )
+    out_specs = tuple(P(DATA_AXIS, *(None,) * (r - 1)) for r in out_ranks)
+    if len(out_specs) == 1:
+        out_specs = out_specs[0]
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        # pallas_call's out ShapeDtypeStruct carries no vma annotation
+        check_vma=False,
+    )(*inputs)
+
+
 def flash_supported(q, k, v, *, is_causal: bool = False) -> bool:
     if is_causal:
         return False  # causal path (text tower) uses the XLA fallback today
@@ -43,6 +124,8 @@ def flash_supported(q, k, v, *, is_causal: bool = False) -> bool:
         # fp32 attention (decoder parity mode) stays on the XLA path,
         # which honors jax.default_matmul_precision('float32'); Mosaic
         # only lowers DEFAULT/HIGHEST dot precisions.
+        return False
+    if not _mesh_ok(q.shape[0]):
         return False
     n = q.shape[2]
     return 2 <= n <= _MAX_SEQ_FULL and q.shape[3] in (32, 64, 128)
@@ -100,6 +183,8 @@ def fused_attention_supported(qkv_shape, dtype, num_heads: int,
     if d not in (32, 64, 128) or d * num_heads * 3 != three_d:
         return False
     if not (2 <= N <= _MAX_SEQ_FULL):
+        return False
+    if not _mesh_ok(B):
         return False
     vmem = (qkv_shape[1] * three_d * itemsize) * 2 + 2 * N * N * 4
     if qk_norm:
@@ -418,24 +503,32 @@ def _fused_kernel_call(
 
     import os
 
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, D), qkv.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * H * N * N * d,
-            bytes_accessed=B * N * (three_d + D) * qkv.dtype.itemsize,
-            transcendentals=B * H * N * N,
-        ),
-        # qk-norm slab arm: headroom above the 16 MB default scoped
-        # limit (the gate budgets it, but near the edge Mosaic's own
-        # accounting can exceed the default — same as the backward)
-        compiler_params=(pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024) if use_qk_norm else None),
-        interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
-    )(*inputs)
+    def _impl(*arrays):
+        # batch size read from the (possibly per-shard) operand: under a
+        # multi-device mesh this runs inside shard_map over the data axis
+        # and sees B / n_data rows (pallas_call has no SPMD rule).
+        Bl = arrays[0].shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(Bl,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bl, N, D), qkv.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * Bl * H * N * N * d,
+                bytes_accessed=Bl * N * (three_d + D) * qkv.dtype.itemsize,
+                transcendentals=Bl * H * N * N,
+            ),
+            # qk-norm slab arm: headroom above the 16 MB default scoped
+            # limit (the gate budgets it, but near the edge Mosaic's own
+            # accounting can exceed the default — same as the backward)
+            compiler_params=(pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024) if use_qk_norm else None),
+            interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+        )(*arrays)
+
+    batched = [True] + [False] * (len(inputs) - 1)  # qkv only
+    return _dispatch_sharded(_impl, inputs, batched, out_ranks=[3])
 
 
 def _fused_bwd_kernel_call(
@@ -681,15 +774,12 @@ def _fused_bwd_kernel_call(
 
     import os
 
-    out_specs = qkv_spec
-    out_shape = jax.ShapeDtypeStruct((B, N, three_d), qkv.dtype)
+    pl_out_specs = qkv_spec
     compiler_params = None
     if use_qk_norm:
-        out_specs = [qkv_spec,
-                     pl.BlockSpec((1, 8, D), lambda b: (b, 0, 0),
-                                  memory_space=pltpu.VMEM)]
-        out_shape = [out_shape,
-                     jax.ShapeDtypeStruct((B, 8, D), jnp.float32)]
+        pl_out_specs = [qkv_spec,
+                        pl.BlockSpec((1, 8, D), lambda b: (b, 0, 0),
+                                     memory_space=pltpu.VMEM)]
         # the fp32 norm intermediates push past the default 16 MB
         # scoped-vmem budget at DiT-XL shapes (measured 27.3 MB
         # naive, less after the sequential-slab schedule); v5e has
@@ -697,26 +787,42 @@ def _fused_bwd_kernel_call(
         compiler_params = pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024)
 
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        cost_estimate=pl.CostEstimate(
-            flops=5 * 2 * B * H * N * N * d,
-            bytes_accessed=B * N * (2 * three_d + D) * qkv.dtype.itemsize,
-            transcendentals=B * H * N * N,
-        ),
-        compiler_params=compiler_params,
-        interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
-    )(*inputs)
+    def _impl(*arrays):
+        # per-shard batch under a multi-device mesh (see _impl in
+        # _fused_kernel_call); the dws rows stay per-batch here — the
+        # caller's .sum(0) over the global (B, 8, D) array is where
+        # GSPMD inserts the cross-shard scale-grad reduction.
+        Bl = arrays[0].shape[0]
+        out_shape = jax.ShapeDtypeStruct((Bl, N, three_d), qkv.dtype)
+        if use_qk_norm:
+            out_shape = [out_shape,
+                         jax.ShapeDtypeStruct((Bl, 8, D), jnp.float32)]
+        return pl.pallas_call(
+            kernel,
+            grid=(Bl,),
+            in_specs=in_specs,
+            out_specs=pl_out_specs,
+            out_shape=out_shape,
+            cost_estimate=pl.CostEstimate(
+                flops=5 * 2 * Bl * H * N * N * d,
+                bytes_accessed=Bl * N * (2 * three_d + D) * qkv.dtype.itemsize,
+                transcendentals=Bl * H * N * N,
+            ),
+            compiler_params=compiler_params,
+            interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+        )(*arrays)
+
+    batched = [True, True] + [False] * (len(inputs) - 2)  # qkv, g
+    out_ranks = [3, 3] if use_qk_norm else [3]
+    return _dispatch_sharded(_impl, inputs, batched, out_ranks=out_ranks)
 
 
 def flash_supported_bnhd(q, k, v) -> bool:
     if q.ndim != 4 or q.shape != k.shape or k.shape != v.shape:
         return False
     if q.dtype != jnp.bfloat16:
+        return False
+    if not _mesh_ok(q.shape[0]):
         return False
     n, h, d = q.shape[1], q.shape[2], q.shape[3]
     if not (2 <= n <= _MAX_SEQ_FULL and d in (32, 64, 128)):
@@ -773,18 +879,26 @@ def flash_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 
     spec = pl.BlockSpec((1, N, H * d), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, N, H * d), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * H * N * N * d,
-            bytes_accessed=4 * B * H * N * d * q.dtype.itemsize,
-            transcendentals=B * H * N * N,
-        ),
-    )(q, k, v)
+
+    def _impl(qf, kf, vf):
+        import os
+
+        Bl = qf.shape[0]  # per-shard batch under a multi-device mesh
+        return pl.pallas_call(
+            kernel,
+            grid=(Bl,),
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((Bl, N, H * d), qf.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * Bl * H * N * N * d,
+                bytes_accessed=4 * Bl * H * N * d * qf.dtype.itemsize,
+                transcendentals=Bl * H * N * N,
+            ),
+            interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+        )(qf, kf, vf)
+
+    out = _dispatch_sharded(_impl, (q, k, v), [True, True, True], out_ranks=[3])
     return out.reshape(B, N, H, d)
 
 
@@ -812,24 +926,30 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, is_causal: bool
         k = jnp.pad(k, padding)
         v = jnp.pad(v, padding)
 
-    qf = q.reshape(B * H, n_pad, d)
-    kf = k.reshape(B * H, n_pad, d)
-    vf = v.reshape(B * H, n_pad, d)
-
     kernel = functools.partial(_attn_kernel, n_valid=N, scale=scale)
     spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(B * H,),
-        in_specs=[spec, spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B * H, n_pad, d), q.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * (B * H) * n_pad * n_pad * d,
-            bytes_accessed=4 * (B * H) * n_pad * d * q.dtype.itemsize,
-            transcendentals=(B * H) * n_pad * n_pad,
-        ),
-    )(qf, kf, vf)
 
-    out = out.reshape(B, H, n_pad, d)
+    def _impl(qb, kb, vb):
+        import os
+
+        Bl = qb.shape[0]  # per-shard batch under a multi-device mesh
+        qf = qb.reshape(Bl * H, n_pad, d)
+        kf = kb.reshape(Bl * H, n_pad, d)
+        vf = vb.reshape(Bl * H, n_pad, d)
+        out = pl.pallas_call(
+            kernel,
+            grid=(Bl * H,),
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((Bl * H, n_pad, d), qb.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * (Bl * H) * n_pad * n_pad * d,
+                bytes_accessed=4 * (Bl * H) * n_pad * d * qb.dtype.itemsize,
+                transcendentals=(Bl * H) * n_pad * n_pad,
+            ),
+            interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+        )(qf, kf, vf)
+        return out.reshape(Bl, H, n_pad, d)
+
+    out = _dispatch_sharded(_impl, (q, k, v), [True, True, True], out_ranks=[4])
     return out[:, :, :N, :] if pad else out

@@ -42,19 +42,15 @@ def _active_mesh():
     multi-device mesh the kernel must run inside ``jax.shard_map`` over
     the (independent) row axis — otherwise XLA replicates the full
     (R, 65536) logits on every device, defeating the kernel's purpose."""
-    try:
-        m = jax.sharding.get_abstract_mesh()
-    except Exception:  # pragma: no cover - very old jax
-        return None
-    if m is None or m.empty or m.size == 1:
-        return None
-    return m
+    from vtp_tpu.parallel.mesh import active_mesh
+
+    return active_mesh()
 
 
 def _mesh_row_shards(mesh) -> int:
-    from vtp_tpu.parallel.mesh import DATA_AXIS
+    from vtp_tpu.parallel.mesh import DATA_AXIS, mesh_axis_size
 
-    return dict(mesh.shape).get(DATA_AXIS, 1)
+    return mesh_axis_size(mesh, DATA_AXIS)
 
 
 def fused_ce_supported(t: jax.Array, s: jax.Array) -> bool:

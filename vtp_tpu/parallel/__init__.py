@@ -1,17 +1,27 @@
-from vtp_tpu.parallel.mesh import make_mesh, DATA_AXIS, MODEL_AXIS
+from vtp_tpu.parallel.mesh import (
+    make_mesh,
+    active_mesh,
+    mesh_axis_size,
+    DATA_AXIS,
+    MODEL_AXIS,
+)
 from vtp_tpu.parallel.sharding import (
     param_partition_specs,
     shard_params,
     batch_sharding,
+    maybe_constrain,
     replicated,
 )
 
 __all__ = [
     "make_mesh",
+    "active_mesh",
+    "mesh_axis_size",
     "DATA_AXIS",
     "MODEL_AXIS",
     "param_partition_specs",
     "shard_params",
     "batch_sharding",
+    "maybe_constrain",
     "replicated",
 ]

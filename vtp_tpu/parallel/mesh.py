@@ -22,6 +22,29 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def active_mesh():
+    """The ambient nontrivial mesh at trace time (``jax.set_mesh``), or
+    None. Pallas ``pallas_call`` has no SPMD partitioning rule, so every
+    kernel dispatch consults this to decide whether it must run inside
+    ``jax.shard_map`` (ops/fused_ce.py, ops/flash_attention.py) —
+    otherwise GSPMD would replicate the kernel's full operands on every
+    device."""
+    try:
+        m = jax.sharding.get_abstract_mesh()
+    except Exception:  # pragma: no cover - very old jax
+        return None
+    if m is None or m.empty or m.size == 1:
+        return None
+    return m
+
+
+def mesh_axis_size(mesh, axis: str) -> int:
+    """Size of ``axis`` in ``mesh`` (1 when absent or mesh is None)."""
+    if mesh is None:
+        return 1
+    return dict(mesh.shape).get(axis, 1)
+
+
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,

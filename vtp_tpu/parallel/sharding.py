@@ -69,6 +69,38 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
     )
 
 
+def maybe_constrain(x: Any, *spec) -> Any:
+    """``with_sharding_constraint`` against the ambient mesh
+    (``jax.set_mesh``); a no-op when single-device / no mesh.
+
+    Axis names in ``spec`` that are absent from the ambient mesh are
+    dropped (e.g. a ``model`` annotation under a pure-data mesh), so
+    call sites can state the full (data, model) intent once. Used at
+    block boundaries in models/blocks.py, ops/ffn.py and
+    models/text_encoder.py to pin the Megatron activation layout —
+    without these, GSPMD propagation through the scan/remat backward
+    loses the batch sharding and emits "[SPMD] Involuntary full
+    rematerialization" (replicated activation traffic; VERDICT r3)."""
+    from vtp_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None:
+        return x
+    try:
+        from jax.sharding import AxisType
+
+        # constraints are GSPMD hints for Auto-mode meshes only; under
+        # Explicit axes (jax.make_mesh's default) sharding lives in the
+        # types and with_sharding_constraint acts as an assert instead
+        if any(t != AxisType.Auto for t in mesh.axis_types):
+            return x
+    except ImportError:  # pragma: no cover - older jax
+        pass
+    axes = set(dict(mesh.shape))
+    clean = tuple(s if (s is None or s in axes) else None for s in spec)
+    return jax.lax.with_sharding_constraint(x, P(*clean))
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS, *((None,) * (ndim - 1))))
