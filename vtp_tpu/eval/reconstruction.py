@@ -91,12 +91,16 @@ def evaluate_reconstruction(
     max_samples: Optional[int] = None,
     lpips_metric: Optional[LPIPS] = None,
     inception_feature_fn: Optional[Callable] = None,
+    sharding=None,
     progress: bool = False,
 ) -> Dict[str, Optional[float]]:
     """Run the round-trip eval. Returns {psnr, ssim, lpips, rfid}.
 
     dataloader yields (images, labels) with images already ADM-cropped
-    and ImageNet-normalized, fp32 NCHW.
+    and ImageNet-normalized, fp32 NCHW. ``sharding``: optional
+    NamedSharding — batches shard over its ``data`` axis and the loop
+    runs under the ambient mesh (so the Pallas attention kernels engage
+    their shard_map dispatch, ops/flash_attention.py).
     """
     roundtrip = make_roundtrip_fn(cfg, compute_dtype)
     lpips_metric = lpips_metric or LPIPS()
@@ -121,33 +125,40 @@ def evaluate_reconstruction(
         from tqdm import tqdm  # type: ignore
 
         it = tqdm(dataloader, desc="reconstruction eval")
+    import contextlib
+
+    mesh_ctx = (jax.set_mesh(sharding.mesh) if sharding is not None
+                else contextlib.nullcontext())
     idx = 0
-    for images, _ in it:
-        images = jnp.asarray(images)
-        orig01, recon01 = roundtrip(params, images)
+    with mesh_ctx:
+        for images, _ in it:
+            images = jnp.asarray(images)
+            if sharding is not None:
+                images = jax.device_put(images, sharding)
+            orig01, recon01 = roundtrip(params, images)
 
-        psnr_sum += float(jnp.sum(psnr(orig01 * 255.0, recon01 * 255.0)))
-        # reference averages the torchmetrics *batch* SSIM per step
-        ssim_batch_sum += float(ssim(orig01, recon01))
-        n_ssim_batches += 1
-        if lpips_metric.available:
-            d = lpips_metric(orig01 * 2.0 - 1.0, recon01 * 2.0 - 1.0)
-            lpips_sum += float(jnp.sum(d))
-        if inception_feature_fn is not None:
-            stats_ref.update(inception_feature_fn(orig01))
-            stats_rec.update(inception_feature_fn(recon01))
+            psnr_sum += float(jnp.sum(psnr(orig01 * 255.0, recon01 * 255.0)))
+            # reference averages the torchmetrics *batch* SSIM per step
+            ssim_batch_sum += float(ssim(orig01, recon01))
+            n_ssim_batches += 1
+            if lpips_metric.available:
+                d = lpips_metric(orig01 * 2.0 - 1.0, recon01 * 2.0 - 1.0)
+                lpips_sum += float(jnp.sum(d))
+            if inception_feature_fn is not None:
+                stats_ref.update(inception_feature_fn(orig01))
+                stats_rec.update(inception_feature_fn(recon01))
 
-        if save_dir:
-            o = (np.asarray(orig01).transpose(0, 2, 3, 1) * 255.0).astype(np.uint8)
-            r = (np.asarray(recon01).transpose(0, 2, 3, 1) * 255.0).astype(np.uint8)
-            for i in range(o.shape[0]):
-                Image.fromarray(o[i]).save(os.path.join(ref_dir, f"ref_{idx + i:06d}.png"))
-                Image.fromarray(r[i]).save(os.path.join(rec_dir, f"rec_{idx + i:06d}.png"))
+            if save_dir:
+                o = (np.asarray(orig01).transpose(0, 2, 3, 1) * 255.0).astype(np.uint8)
+                r = (np.asarray(recon01).transpose(0, 2, 3, 1) * 255.0).astype(np.uint8)
+                for i in range(o.shape[0]):
+                    Image.fromarray(o[i]).save(os.path.join(ref_dir, f"ref_{idx + i:06d}.png"))
+                    Image.fromarray(r[i]).save(os.path.join(rec_dir, f"rec_{idx + i:06d}.png"))
 
-        n_img += images.shape[0]
-        idx += images.shape[0]
-        if max_samples is not None and n_img >= max_samples:
-            break
+            n_img += images.shape[0]
+            idx += images.shape[0]
+            if max_samples is not None and n_img >= max_samples:
+                break
 
     results: Dict[str, Optional[float]] = {
         "psnr": psnr_sum / n_img if n_img else None,

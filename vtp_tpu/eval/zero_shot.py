@@ -147,12 +147,24 @@ def evaluate_zero_shot(
         c1, c5 = topk_counts(logits, targets)
         return c1, c5
 
-    top1 = top5 = n = 0.0
     it = dataloader
     if progress:
         from tqdm import tqdm  # type: ignore
 
         it = tqdm(dataloader, desc="zero-shot eval")
+    import contextlib
+
+    # ambient mesh so the Pallas attention kernels engage their
+    # shard_map dispatch (ops/flash_attention.py) instead of being
+    # replicated by GSPMD across the data shards
+    ctx = (jax.set_mesh(sharding.mesh) if sharding is not None
+           else contextlib.nullcontext())
+    with ctx:
+        return _zero_shot_loop(it, step, params, classifier, sharding)
+
+
+def _zero_shot_loop(it, step, params, classifier, sharding):
+    top1 = top5 = n = 0.0
     for images, targets in it:
         images = jnp.asarray(images)
         targets = jnp.asarray(targets)

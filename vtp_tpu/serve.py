@@ -42,7 +42,13 @@ class _Request:
 
 
 class VTPServer:
-    """Single-device batched inference server (threaded dispatcher)."""
+    """Batched inference server (threaded dispatcher).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the coalesced batch is
+    sharded over its ``data`` axis and the params are placed by the
+    framework's partition specs (replicated under pure DP), so serving
+    inherits the mesh exactly like the eval harnesses do. Single-device
+    when None (the default)."""
 
     def __init__(
         self,
@@ -50,9 +56,22 @@ class VTPServer:
         batch_size: int = 32,
         max_wait_ms: float = 5.0,
         warmup: bool = True,
+        mesh=None,
     ):
         self.model = model
         self.batch_size = batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from vtp_tpu.parallel.mesh import DATA_AXIS, mesh_axis_size
+            from vtp_tpu.parallel.sharding import shard_params
+
+            n_data = mesh_axis_size(mesh, DATA_AXIS)
+            if batch_size % max(n_data, 1):
+                raise ValueError(
+                    f"batch_size {batch_size} must divide over the mesh "
+                    f"data axis ({n_data} shards)"
+                )
+            model.params = shard_params(model.params, mesh)
         self.max_wait = max_wait_ms / 1000.0
         self._stop = threading.Event()
         self._fns: Dict[str, Callable] = {
@@ -116,14 +135,30 @@ class VTPServer:
 
     # -------------------------------------------------------- internals
 
+    def _mesh_ctx(self):
+        """Ambient-mesh context for dispatcher calls: under a mesh the
+        Pallas attention kernels need it to engage their shard_map
+        dispatch (ops/flash_attention.py); no-op single-device."""
+        import contextlib
+
+        return jax.set_mesh(self.mesh) if self.mesh is not None else contextlib.nullcontext()
+
+    def _to_device(self, x: jax.Array) -> jax.Array:
+        if self.mesh is None:
+            return x
+        from vtp_tpu.parallel.sharding import batch_sharding
+
+        return jax.device_put(x, batch_sharding(self.mesh, x.ndim))
+
     def _warmup(self) -> None:
         cfg = self.model.config
         s = cfg.image_size
         g = cfg.image_size // cfg.vision_patch_size
         img = jnp.zeros((self.batch_size, 3, s, s), jnp.float32)
         lat = jnp.zeros((self.batch_size, cfg.vision_feature_bottleneck, g, g), jnp.float32)
-        np.asarray(self.model.get_reconstruction_latents(img))
-        np.asarray(self.model.get_latents_decoded_images(lat))
+        with self._mesh_ctx():
+            np.asarray(self.model.get_reconstruction_latents(self._to_device(img)))
+            np.asarray(self.model.get_latents_decoded_images(self._to_device(lat)))
 
     def _oldest_kind(self) -> Optional[str]:
         heads = [(q[0].seq, k) for k, q in self._queues.items() if q]
@@ -168,22 +203,23 @@ class VTPServer:
             n = stacked.shape[0]
             try:
                 outs = []
-                for s in range(0, n, self.batch_size):
-                    chunk = stacked[s : s + self.batch_size]
-                    k = chunk.shape[0]
-                    dev = jnp.asarray(chunk)
-                    if k < self.batch_size:
-                        # pad to the fixed batch shape ON DEVICE and
-                        # fetch only the valid rows: the host<->device
-                        # link (25 MB/batch for 256px images; an 11 MB/s
-                        # straw through the remote tunnel) must never
-                        # carry padding bytes. The tiny pad op compiles
-                        # once per distinct k <= batch_size.
-                        dev = jnp.concatenate(
-                            [dev, jnp.repeat(dev[-1:], self.batch_size - k, axis=0)]
-                        )
-                    out = self._fns[kind](dev)
-                    outs.append(np.asarray(out[:k]))
+                with self._mesh_ctx():
+                    for s in range(0, n, self.batch_size):
+                        chunk = stacked[s : s + self.batch_size]
+                        k = chunk.shape[0]
+                        dev = jnp.asarray(chunk)
+                        if k < self.batch_size:
+                            # pad to the fixed batch shape ON DEVICE and
+                            # fetch only the valid rows: the host<->device
+                            # link (25 MB/batch for 256px images; an 11 MB/s
+                            # straw through the remote tunnel) must never
+                            # carry padding bytes. The tiny pad op compiles
+                            # once per distinct k <= batch_size.
+                            dev = jnp.concatenate(
+                                [dev, jnp.repeat(dev[-1:], self.batch_size - k, axis=0)]
+                            )
+                        out = self._fns[kind](self._to_device(dev))
+                        outs.append(np.asarray(out[:k]))
                 result = np.concatenate(outs, axis=0)
             except Exception as e:  # pragma: no cover
                 for r in batch:
