@@ -147,3 +147,40 @@ def test_bf16_moments_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         assert a.dtype == b.dtype
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_restore_rejects_moment_dtype_mismatch(tmp_path):
+    """Resuming with a different --moment_dtype than the checkpoint was
+    written with must error instead of silently casting the moments
+    (ADVICE r3): the guard compares template vs stored leaf dtypes."""
+    from vtp_tpu.checkpoint import restore_train_state, save_train_state
+    from vtp_tpu.dit.model import make_dit_config
+    from vtp_tpu.dit.train import DiTTrainConfig, init_dit_state
+
+    dcfg = make_dit_config("DiT-B/1", depth=1, dim=64, num_heads=2,
+                           in_channels=4, input_size=2)
+    state = init_dit_state(
+        jax.random.key(0), dcfg, DiTTrainConfig(moment_dtype="fp32"))
+    save_train_state(str(tmp_path / "t"), state, step=1)
+
+    bad_template = init_dit_state(
+        jax.random.key(0), dcfg, DiTTrainConfig(moment_dtype="bf16"))
+    with pytest.raises(ValueError, match="moment_dtype"):
+        restore_train_state(str(tmp_path / "t"), bad_template)
+    # escape hatch casts explicitly
+    restored = restore_train_state(
+        str(tmp_path / "t"), bad_template, allow_dtype_mismatch=True)
+    assert int(restored["step"]) == int(state["step"])
+
+
+def test_moment_dtype_consistent_when_grads_differ(problem):
+    """store() must carry the INIT moment dtype even when grad dtype
+    differs from param dtype (ADVICE r3: the old g.dtype fallback
+    changed the carried dtype after the first update)."""
+    params, grads_seq = problem
+    tx = scale_by_adam_moments(b1=0.9, b2=0.95, moment_dtype=None)
+    state = tx.init(params)  # moments in param dtype (fp32)
+    bf_grads = jax.tree.map(lambda g: g.astype(jnp.bfloat16), grads_seq[0])
+    _, state = tx.update(bf_grads, state)
+    for leaf in jax.tree.leaves(state.mu) + jax.tree.leaves(state.nu):
+        assert leaf.dtype == jnp.float32

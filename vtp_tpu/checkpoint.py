@@ -137,13 +137,79 @@ def latest_train_state_step(directory: str) -> Optional[int]:
     return max(steps) if steps else None
 
 
-def restore_train_state(directory: str, template: Any, step: Optional[int] = None) -> Any:
+def restore_train_state(
+    directory: str,
+    template: Any,
+    step: Optional[int] = None,
+    allow_dtype_mismatch: bool = False,
+) -> Any:
+    """Restore into ``template``'s structure/shardings.
+
+    Guards against silent dtype casts on resume: orbax restores into the
+    template's dtypes, so resuming with e.g. a different
+    ``--moment_dtype`` than the checkpoint was written with would
+    otherwise silently cast the saved fp32 Adam moments to bf16 (an
+    untracked numerics change). Any leaf dtype mismatch raises unless
+    ``allow_dtype_mismatch=True``."""
     import orbax.checkpoint as ocp
 
     step = latest_train_state_step(directory) if step is None else step
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {directory}")
+    path = os.path.join(os.path.abspath(directory), f"step_{step:08d}")
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(
-            os.path.join(os.path.abspath(directory), f"step_{step:08d}"), template
-        )
+        if not allow_dtype_mismatch:
+            import jax
+            import numpy as np
+
+            try:
+                meta = ckptr.metadata(path)
+                # StepMetadata wraps the per-leaf ArrayMetadata tree;
+                # older orbax returned the tree directly
+                tree_meta = getattr(meta, "item_metadata", None)
+                meta = getattr(tree_meta, "tree", tree_meta) or meta
+            except Exception:
+                meta = None
+            if meta is not None:
+                def _tokens(path):
+                    # normalize DictKey/SequenceKey/GetAttrKey to plain
+                    # strings: orbax metadata stores namedtuple fields as
+                    # dict keys ("['mu']") where the template path says
+                    # ".mu" — raw keystr comparison would never match
+                    out = []
+                    for e in path:
+                        for attr in ("key", "idx", "name"):
+                            if hasattr(e, attr):
+                                out.append(str(getattr(e, attr)))
+                                break
+                        else:
+                            out.append(str(e))
+                    return tuple(out)
+
+                t_leaves = jax.tree_util.tree_flatten_with_path(template)[0]
+                m_leaves = jax.tree_util.tree_flatten_with_path(
+                    meta, is_leaf=lambda x: hasattr(x, "dtype")
+                )[0]
+                stored = {
+                    _tokens(k): getattr(v, "dtype", None) for k, v in m_leaves
+                }
+                bad = []
+                for k, leaf in t_leaves:
+                    ks = _tokens(k)
+                    want = getattr(leaf, "dtype", None)
+                    have = stored.get(ks)
+                    if (want is not None and have is not None
+                            and np.dtype(want) != np.dtype(have)):
+                        bad.append(
+                            f"  {'/'.join(ks)}: checkpoint {have} "
+                            f"vs template {want}"
+                        )
+                if bad:
+                    raise ValueError(
+                        f"checkpoint {path} dtype mismatch (did --moment_dtype "
+                        "change since it was written?); pass "
+                        "allow_dtype_mismatch=True to cast on restore:\n"
+                        + "\n".join(bad[:10])
+                        + ("" if len(bad) <= 10 else f"\n  ... {len(bad) - 10} more")
+                    )
+        return ckptr.restore(path, template)

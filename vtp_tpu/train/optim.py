@@ -67,7 +67,9 @@ def scale_by_adam_moments(
 
     def update_fn(updates, state, params=None):
         del params
-        count = state.count + 1
+        # saturating increment (optax parity): a plain int32 +1 would
+        # wrap at 2^31 steps and flip the bias correction
+        count = optax.safe_increment(state.count)
         mu = jax.tree.map(
             lambda g, m: b1 * m.astype(jnp.float32) + (1.0 - b1) * g,
             updates, state.mu,
@@ -82,13 +84,17 @@ def scale_by_adam_moments(
             lambda m, v: (m / bc1) / (jnp.sqrt(v / bc2) + eps), mu, nu
         )
 
-        def store(x, g):
-            return x.astype(moment_dtype or g.dtype)
+        def store(x, old):
+            # carried dtype must match init_fn's (moment_dtype, falling
+            # back to the EXISTING moment leaf's dtype — not the grad's,
+            # which may differ and would retrace/diverge from the
+            # checkpoint template after the first update)
+            return x.astype(moment_dtype or old.dtype)
 
         return new_updates, optax.ScaleByAdamState(
             count=count,
-            mu=jax.tree.map(store, mu, updates),
-            nu=jax.tree.map(store, nu, updates),
+            mu=jax.tree.map(store, mu, state.mu),
+            nu=jax.tree.map(store, nu, state.nu),
         )
 
     return optax.GradientTransformation(init_fn, update_fn)
