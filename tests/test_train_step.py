@@ -240,3 +240,35 @@ def test_grad_accum_metrics_average_distinct_micros():
         want = 0.5 * (float(met_a[k]) + float(met_b[k]))
         np.testing.assert_allclose(float(m2[k]), want, rtol=1e-5, err_msg=k)
     assert int(s2["step"]) == 1
+
+
+def test_host_accum_matches_in_jit_scan_accum():
+    """run_host_accum_step (the DiT-style host-driven microbatch loop)
+    must match the in-jit scan accumulation path on the same stacked
+    batch — same grads averaging, same pooled center statistics."""
+    from vtp_tpu.train.step import run_host_accum_step
+
+    acfg = TrainConfig(**{**NODROP.__dict__, "accum_steps": 2})
+    ma = make_batch(jax.random.key(10))
+    mb = make_batch(jax.random.key(11))
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]), ma, mb)
+
+    step = build_train_step(TINY, acfg)
+    s_scan, m_scan = jax.jit(step)(
+        init_state(jax.random.key(0), TINY, acfg), stacked, jax.random.key(2))
+    s_host, m_host = run_host_accum_step(
+        step, acfg, init_state(jax.random.key(0), TINY, acfg), stacked,
+        jax.random.key(2))
+
+    for k in m_scan:
+        np.testing.assert_allclose(float(m_host[k]), float(m_scan[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree.leaves(s_scan["params"]),
+                    jax.tree.leaves(s_host["params"])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_host["dino_center"]),
+                               np.asarray(s_scan["dino_center"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_host["ibot_center"]),
+                               np.asarray(s_scan["ibot_center"]), atol=1e-6)
+    assert int(s_host["step"]) == 1

@@ -119,6 +119,12 @@ class TrainConfig:
     # or "bf16" (halves optimizer HBM traffic + one fp32 param copy of
     # state memory; sub-percent update noise — train/optim.py)
     moment_dtype: str = "fp32"
+    # gradient-accumulator storage dtype for the HOST-DRIVEN microbatch
+    # path (run_host_accum_step); the in-jit scan path always carries
+    # fp32. "bf16" halves the accumulator's HBM footprint — the lever
+    # that lets VTP-L fit small-microbatch accumulation (cf. DiT-XL,
+    # dit/train.py accum_dtype)
+    accum_dtype: str = "fp32"
 
     @property
     def jnp_compute_dtype(self):
@@ -454,7 +460,14 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
         (g_sum, m_sum, c_sum), _ = jax.lax.scan(
             body, (g_sum, m0, c_sum), (rest, keys[1:])
         )
-        grads = jax.tree.map(lambda g: g / accum, g_sum)
+        return _apply_accumulated(state, g_sum, m_sum, c_sum, accum)
+
+    def _apply_accumulated(state, g_sum, m_sum, c_sum, accum):
+        """Shared accumulation epilogue (in-jit scan AND host-driven
+        paths): average grads/metrics over microbatches, one optimizer +
+        EMA step, center EMA from the pooled sufficient statistics —
+        bit-for-bit what a single concatenated batch would produce."""
+        grads = jax.tree.map(lambda g: g.astype(jnp.float32) / accum, g_sum)
         metrics = jax.tree.map(lambda m: m / accum, m_sum)
 
         updates, opt_state = optimizer.update(
@@ -482,6 +495,49 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
                 )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
+
+    def micro_step(state, g_sum, m_sum, c_sum, micro, key):
+        """Host-driven accumulation (the DiT machinery's twin,
+        dit/train.py:173-207): one microbatch's grads/metrics/center
+        stats added into donated accumulators. Use when the in-jit
+        accumulation scan's HLO exceeds XLA's HBM plan (VTP-L). Adds in
+        fp32, stores in ``tcfg.accum_dtype``."""
+        adt = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[tcfg.accum_dtype]
+        g, m, aux = _loss_and_grads(state, micro, key)
+        g_sum = jax.tree.map(
+            lambda a, b: (a.astype(jnp.float32)
+                          + b.astype(jnp.float32)).astype(adt), g_sum, g)
+        m_sum = jax.tree.map(jnp.add, m_sum, m)
+        if aux is not None:
+            c = _center_stats(aux, micro["ssl"])
+            c_sum = jax.tree.map(jnp.add, c_sum, c)
+        return g_sum, m_sum, c_sum
+
+    def apply_accum(state, g_sum, m_sum, c_sum):
+        return _apply_accumulated(
+            state, g_sum, m_sum, c_sum, max(1, tcfg.accum_steps)
+        )
+
+    def zero_accumulators(state, micro0):
+        """Fresh (g_sum, m_sum, c_sum) for the host-driven microbatch
+        loop; ``micro0`` is ONE microbatch (no accum axis)."""
+        adt = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[tcfg.accum_dtype]
+        g_sum = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, adt), state["params"]
+        )
+        m_shapes = jax.eval_shape(
+            lambda s, b: _loss_and_grads(s, b, jax.random.key(0))[1],
+            state, micro0,
+        )
+        m_sum = jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), m_shapes)
+        c_sum = None
+        if tcfg.train_ssl and "ssl" in micro0:
+            d = tcfg.dino_out_dim
+            c_sum = (
+                jnp.zeros((d,), jnp.float32), jnp.zeros((), jnp.float32),
+                jnp.zeros((d,), jnp.float32), jnp.zeros((), jnp.float32),
+            )
+        return g_sum, m_sum, c_sum
 
     def objective_grad_norms(state: TrainState, batch: Dict[str, Any], key: jax.Array):
         """Per-objective global grad norms (one backward pass per
@@ -516,4 +572,31 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
         return norms
 
     train_step.objective_grad_norms = objective_grad_norms
+    train_step.micro_step = micro_step
+    train_step.apply_accum = apply_accum
+    train_step.zero_accumulators = zero_accumulators
     return train_step
+
+
+def run_host_accum_step(train_step, tcfg: TrainConfig, state, batch, key,
+                        micro_jit=None, apply_jit=None):
+    """Drive ONE optimizer step of host accumulation: every batch leaf
+    carries a leading (accum_steps,) microbatch axis (the in-jit scan
+    path's contract); the key splits per microbatch identically, so the
+    result matches ``train_step`` with the same batch up to accumulator
+    rounding. Pass pre-jitted ``micro_jit``/``apply_jit`` (with donation
+    on the accumulators) to amortize; otherwise the attributes are
+    jitted here per call."""
+    accum = max(1, tcfg.accum_steps)
+    micro_fn = micro_jit or jax.jit(train_step.micro_step,
+                                    donate_argnums=(1, 2, 3))
+    apply_fn = apply_jit or jax.jit(train_step.apply_accum,
+                                    donate_argnums=(1, 2, 3))
+    keys = jax.random.split(key, accum)
+    micro0 = jax.tree.map(lambda x: x[0], batch)
+    g_sum, m_sum, c_sum = train_step.zero_accumulators(state, micro0)
+    for i in range(accum):
+        micro = jax.tree.map(lambda x: x[i], batch)
+        g_sum, m_sum, c_sum = micro_fn(state, g_sum, m_sum, c_sum,
+                                       micro, keys[i])
+    return apply_fn(state, g_sum, m_sum, c_sum)
