@@ -326,6 +326,38 @@ def block_apply(
     return tuple(res_spec(x + r) for x, r in zip(xs, unpack(ffn_out, shapes)))
 
 
+def block_apply_flat(
+    flat: jax.Array,
+    p: dict,
+    cfg: BlockConfig,
+    ropes: Sequence[Rope],
+    shapes: List[Tuple[int, int]],
+    *,
+    compute_dtype: Optional[jnp.dtype] = None,
+    n_valids: Optional[Sequence[int]] = None,
+) -> jax.Array:
+    """``block_apply`` on an already-packed ``(sum B_i*N_i, D)`` token
+    matrix. Bit-identical to packing/unpacking around ``block_apply``
+    (pack is a deterministic concat of reshapes and every op here is
+    elementwise over rows or already packed-native), but the residual
+    stream stays packed across the whole depth stack — the reference
+    re-packs per layer (cat_keep_shapes in block.py:235-298), which
+    measured 13.8 ms/step of pure copy traffic in the v5e SSL train
+    step (PERF.md round 3). Used by ``scan_blocks`` whenever drop-path
+    is off; drop-path gathers per-crop batch subsets and keeps the
+    (B, N, D) carry."""
+    res_spec = lambda x: maybe_constrain(x, DATA_AXIS, None)
+    n1 = apply_norm(flat, p["norm1"], cfg.norm_kind, cfg.eps)
+    attn_out = _maybe_ls(
+        attention_apply(n1, shapes, p["attn"], cfg, ropes, compute_dtype, n_valids),
+        p, "ls1",
+    )
+    flat = res_spec(flat + attn_out)
+    n2 = apply_norm(flat, p["norm2"], cfg.norm_kind, cfg.eps)
+    ffn_out = _maybe_ls(_ffn_apply(n2, p["mlp"], cfg, compute_dtype), p, "ls2")
+    return res_spec(flat + ffn_out)
+
+
 def drop_keep_count(batch: int, drop_ratio: float, shards: int = 1) -> int:
     """Per-shard keep count: deterministic equal allocation of the
     reference's global keep (block.py:55-66), rounded down to keep
@@ -496,15 +528,34 @@ def scan_blocks(
         else jnp.zeros((depth, 2), jnp.uint32)
     )
 
-    def body(carry, layer):
-        params_i, key_i = layer
-        out = block_apply(
-            carry, params_i, cfg, ropes,
-            compute_dtype=compute_dtype, drop_ratio=drop_ratio,
-            training=training, key=key_i if use_drop else None,
-            drop_shards=drop_shards, n_valids=n_valids,
-        )
-        return out, None
+    if use_drop:
+        # drop-path gathers per-crop batch subsets: keep the (B, N, D)
+        # tuple carry so the residual scatter stays per crop
+        carry0: object = xs
+        finish = lambda c: c
+
+        def body(carry, layer):
+            params_i, key_i = layer
+            out = block_apply(
+                carry, params_i, cfg, ropes,
+                compute_dtype=compute_dtype, drop_ratio=drop_ratio,
+                training=training, key=key_i,
+                drop_shards=drop_shards, n_valids=n_valids,
+            )
+            return out, None
+    else:
+        # pack ONCE for the whole stack (see block_apply_flat)
+        flat0, shapes = pack(xs)
+        carry0 = flat0
+        finish = lambda c: tuple(unpack(c, shapes))
+
+        def body(carry, layer):
+            params_i, _ = layer
+            out = block_apply_flat(
+                carry, params_i, cfg, ropes, shapes,
+                compute_dtype=compute_dtype, n_valids=n_valids,
+            )
+            return out, None
 
     body = remat_wrap(body, remat)
 
@@ -525,11 +576,12 @@ def scan_blocks(
 
     if chunk == depth:
         collected = []
+        carry = carry0
         for i in range(depth):
-            xs, _ = body(xs, (at(stacked, i), layer_keys[i]))
+            carry, _ = body(carry, (at(stacked, i), layer_keys[i]))
             if i >= depth - collect_last:
-                collected.append(xs)
-        return xs, (collected if collect_last > 0 else None)
+                collected.append(finish(carry))
+        return finish(carry), (collected if collect_last > 0 else None)
 
     if chunk > 1:
         if collect_last > 0:
@@ -546,17 +598,18 @@ def scan_blocks(
                 carry, _ = body(carry, (at(params_c, j), keys_c[j]))
             return carry, None
 
-        xs, _ = jax.lax.scan(seg_body, xs, (seg_stacked, seg_keys))
-        return xs, None
+        carry, _ = jax.lax.scan(seg_body, carry0, (seg_stacked, seg_keys))
+        return finish(carry), None
 
     if collect_last <= 0:
-        xs, _ = jax.lax.scan(body, xs, (stacked, layer_keys))
-        return xs, None
+        carry, _ = jax.lax.scan(body, carry0, (stacked, layer_keys))
+        return finish(carry), None
 
     split = depth - collect_last
+    carry = carry0
     if split > 0:
-        xs, _ = jax.lax.scan(body, xs, (take(stacked, 0, split), layer_keys[:split]))
-    xs, ys = jax.lax.scan(body_collect, xs, (take(stacked, split, depth), layer_keys[split:]))
-    # ys: tuple of arrays with leading collect_last axis -> list of tuples
-    collected = [jax.tree.map(lambda a: a[i], ys) for i in range(collect_last)]
-    return xs, collected
+        carry, _ = jax.lax.scan(body, carry, (take(stacked, 0, split), layer_keys[:split]))
+    carry, ys = jax.lax.scan(body_collect, carry, (take(stacked, split, depth), layer_keys[split:]))
+    # ys: carry pytree with a leading collect_last axis -> list of tuples
+    collected = [finish(jax.tree.map(lambda a: a[i], ys)) for i in range(collect_last)]
+    return finish(carry), collected
