@@ -1,0 +1,191 @@
+"""On-chip kernel-vs-fallback parity probe (VERDICT r3 item 5).
+
+Runs the SAME random weights and inputs through the Pallas-kernel path
+and the XLA fallback (``VTP_DISABLE_FLASH=1`` + ``VTP_DISABLE_FUSED_CE=1``)
+on the real TPU, and reports forward / loss / gradient deltas. This
+closes the gap between "interpret mode agrees" (the CPU unit tests,
+tests/test_ops_parity.py) and "the chip agrees": Mosaic lowering bugs
+are silent in interpret mode (see PERF.md "Mosaic head-packing bug").
+
+Probes (vtp-small preset, fixed seeds):
+  * bf16 encode latents (fused qkv+rope+attention fwd)
+  * CLIP image + text features (non-causal + causal kernel arms)
+  * fp32 decode (fp32-precision kernel arm)
+  * CLIP+rec+SSL train step: per-objective losses + global grad norm
+    (attention bwd kernels, qk-norm arm via DiT is covered separately,
+    fused one-pass CE kernel)
+
+Intended cadence: once per round on the axon TPU; record the row in
+PARITY.md ("On-chip kernel parity probe"). Mirrors the reference's
+golden-activation test strategy (SURVEY.md §4) at the whole-model level.
+
+Usage:  nohup python -u tools/parity_probe.py > /tmp/parity_probe.log 2>&1 &
+        python tools/parity_probe.py --json out.json   # artifact path
+CPU self-test (interpret-mode kernels): VTP_PALLAS_INTERPRET=1
+JAX_PLATFORMS=cpu python tools/parity_probe.py --small
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from vtp_tpu.utils.env import apply_jax_platforms_env
+
+apply_jax_platforms_env()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from vtp_tpu.config import PRESETS  # noqa: E402
+
+_FALLBACK_ENV = ("VTP_DISABLE_FLASH", "VTP_DISABLE_FUSED_CE")
+
+
+def _set_fallback(on: bool) -> None:
+    for k in _FALLBACK_ENV:
+        if on:
+            os.environ[k] = "1"
+        else:
+            os.environ.pop(k, None)
+
+
+def _rel(a: np.ndarray, b: np.ndarray) -> float:
+    denom = max(float(np.abs(b).max()), 1e-12)
+    return float(np.abs(a - b).max()) / denom
+
+
+def run_arm(fallback: bool, *, preset: str, batch: int, tiny: bool) -> dict:
+    """Build + run every probe with kernels on or off. Functions are
+    (re)defined per arm so jit traces freshly under the env setting
+    (pallas_enabled() is read at trace time)."""
+    from vtp_tpu.models import vtp_model as vm
+    from vtp_tpu.train.step import (
+        TrainConfig, build_train_step, init_state, make_ssl_batch,
+    )
+
+    _set_fallback(fallback)
+    cfg = PRESETS[preset]()
+    key = jax.random.key(0)
+    params = vm.init_vtp_params(key, cfg)
+
+    k1, k2 = jax.random.split(jax.random.key(1))
+    img = jax.random.normal(k1, (batch, 3, cfg.image_size, cfg.image_size),
+                            jnp.float32)
+    txt = jax.random.randint(k2, (batch, cfg.text_context_length), 1,
+                             cfg.text_vocab_size - 1)
+
+    out: dict = {}
+    t0 = time.perf_counter()
+
+    lat = jax.jit(lambda p, x: vm.get_reconstruction_latents(p, cfg, x))(params, img)
+    out["latents"] = np.asarray(lat, np.float32)
+
+    feats = jax.jit(lambda p, x: vm.get_clip_image_feature(p, cfg, x))(params, img)
+    out["clip_image"] = np.asarray(feats, np.float32)
+    tfeat = jax.jit(lambda p, t: vm.get_clip_text_feature(p, cfg, t))(params, txt)
+    out["clip_text"] = np.asarray(tfeat, np.float32)
+
+    # decode on a FIXED latent input (not this arm's bf16 latents — the
+    # arms' encodes differ by bf16 rounding, which would alias into the
+    # decode delta)
+    zk = jax.random.normal(
+        jax.random.key(7),
+        (batch, cfg.vision_feature_bottleneck,
+         cfg.image_size // cfg.vision_patch_size,
+         cfg.image_size // cfg.vision_patch_size), jnp.float32)
+    dec = jax.jit(lambda p, z: vm.get_latents_decoded_images(p, cfg, z))(
+        params, zk)
+    out["decode"] = np.asarray(dec, np.float32)
+
+    # full train step (CLIP + rec + SSL): losses + grad norm
+    tcfg = TrainConfig(train_ssl=True, warmup_steps=0, total_steps=100,
+                       remat=True, unroll_layers=False)
+    state = init_state(jax.random.key(0), cfg, tcfg)
+    b = {
+        "image": img, "text": txt, "rec_image": img,
+        "ssl": make_ssl_batch(jax.random.key(4), batch,
+                              global_size=cfg.image_size,
+                              patch=cfg.vision_patch_size),
+    }
+    step = jax.jit(build_train_step(cfg, tcfg))
+    _, metrics = step(state, b, jax.random.key(2))
+    out["losses"] = {k: float(v) for k, v in metrics.items()
+                     if k.startswith("loss/")}
+    out["grad_norm"] = float(metrics["grad_norm"])
+    out["wall_s"] = round(time.perf_counter() - t0, 1)
+    _set_fallback(False)
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="vtp-small")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny CPU self-test sizes (batch 2)")
+    ap.add_argument("--json", default=None, help="write the result dict here")
+    args = ap.parse_args()
+    if args.small:
+        args.batch = 2
+
+    print(f"device: {jax.devices()[0]}  preset={args.preset} "
+          f"batch={args.batch}", flush=True)
+
+    kern = run_arm(False, preset=args.preset, batch=args.batch, tiny=args.small)
+    print(f"kernel arm done in {kern['wall_s']}s", flush=True)
+    ref = run_arm(True, preset=args.preset, batch=args.batch, tiny=args.small)
+    print(f"fallback arm done in {ref['wall_s']}s", flush=True)
+
+    report = {"preset": args.preset, "batch": args.batch,
+              "backend": jax.default_backend(), "deltas": {}}
+    for name in ("latents", "clip_image", "clip_text", "decode"):
+        report["deltas"][name] = {
+            "max_abs": float(np.abs(kern[name] - ref[name]).max()),
+            "max_rel": _rel(kern[name], ref[name]),
+        }
+    report["losses_kernel"] = kern["losses"]
+    report["losses_fallback"] = ref["losses"]
+    report["loss_rel"] = {
+        k: abs(kern["losses"][k] - ref["losses"][k]) / max(abs(ref["losses"][k]), 1e-12)
+        for k in kern["losses"]
+    }
+    report["grad_norm_kernel"] = kern["grad_norm"]
+    report["grad_norm_fallback"] = ref["grad_norm"]
+    report["grad_norm_rel"] = (abs(kern["grad_norm"] - ref["grad_norm"])
+                               / max(abs(ref["grad_norm"]), 1e-12))
+
+    print(json.dumps(report, indent=2), flush=True)
+
+    # gates: bf16 forwards may differ by bf16 rounding (~1e-2 rel); the
+    # fp32 decode arm and scalar losses must agree much tighter.
+    fails = []
+    if report["deltas"]["decode"]["max_rel"] > 2e-3:
+        fails.append("decode fp32 rel > 2e-3")
+    for name in ("latents", "clip_image", "clip_text"):
+        if report["deltas"][name]["max_rel"] > 5e-2:
+            fails.append(f"{name} bf16 rel > 5e-2")
+    for k, v in report["loss_rel"].items():
+        if v > 5e-3:
+            fails.append(f"{k} rel {v:.2e} > 5e-3")
+    if report["grad_norm_rel"] > 2e-2:
+        fails.append(f"grad_norm rel {report['grad_norm_rel']:.2e} > 2e-2")
+    report["fails"] = fails
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(report, f, indent=2)
+    if fails:
+        print("PARITY PROBE FAILED: " + "; ".join(fails), flush=True)
+        return 1
+    print("PARITY PROBE OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
