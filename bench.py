@@ -169,18 +169,25 @@ def train_sol_imgs_per_sec(cfg: VTPConfig, *, remat: bool, ssl: bool,
 
 
 def measure_train(*, preset: str, batch: int, iters: int, ssl: bool,
-                  remat, unroll: bool) -> dict:
+                  remat, unroll: bool, accum: int = 1,
+                  moment_dtype: str = "fp32") -> dict:
     """Measure train-step throughput; returns a dict of numbers (shared
-    by BENCH_MODE=train and the train section of the default bench)."""
+    by BENCH_MODE=train and the train section of the default bench).
+    ``accum > 1`` drives host-side microbatch accumulation (one
+    optimizer step per ``accum`` microbatches, bf16 accumulator) and
+    counts the FULL global batch per step."""
     from vtp_tpu.train.step import (
         TrainConfig, build_train_step, init_state, make_ssl_batch,
+        run_host_accum_step,
     )
 
     cfg = PRESETS[preset]()
     tcfg = TrainConfig(train_ssl=ssl, warmup_steps=0, total_steps=1000,
-                       remat=remat, unroll_layers=unroll)
+                       remat=remat, unroll_layers=unroll,
+                       accum_steps=accum, accum_dtype="bf16",
+                       moment_dtype=moment_dtype)
     state = init_state(jax.random.key(0), cfg, tcfg)
-    step = jax.jit(build_train_step(cfg, tcfg), donate_argnums=(0,))
+    ts = build_train_step(cfg, tcfg)
     k1, k2 = jax.random.split(jax.random.key(1))
     batch_data = {
         "image": jax.random.normal(k1, (batch, 3, cfg.image_size, cfg.image_size)),
@@ -194,29 +201,49 @@ def measure_train(*, preset: str, batch: int, iters: int, ssl: bool,
             patch=cfg.vision_patch_size,
         )
 
+    if accum <= 1:
+        step = jax.jit(ts, donate_argnums=(0,))
+
+        def run(state, key):
+            return step(state, batch_data, key)
+    else:
+        micro = jax.jit(ts.micro_step, donate_argnums=(1, 2, 3))
+        apply_ = jax.jit(ts.apply_accum, donate_argnums=(0, 1, 2, 3))
+        batch_a = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (accum,) + x.shape), batch_data)
+
+        def run(state, key):
+            return run_host_accum_step(ts, tcfg, state, batch_a, key,
+                                       micro_jit=micro, apply_jit=apply_)
+
     name = "CLIP+SSL+rec" if ssl else "CLIP+rec"
     t0 = time.perf_counter()
-    state, metrics = step(state, batch_data, jax.random.key(2))
+    state, metrics = run(state, jax.random.key(2))
     _ = float(metrics["loss/total"])
-    print(f"[bench] train/{name} compile+first: {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    print(f"[bench] train/{preset}/{name} compile+first: "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, batch_data, jax.random.key(3 + i))
+        state, metrics = run(state, jax.random.key(3 + i))
     _ = float(metrics["loss/total"])  # host fetch = sync
     dt = (time.perf_counter() - t0) / iters
     sol = train_sol_imgs_per_sec(cfg, remat=remat, ssl=ssl)
-    imgs = batch / dt
-    print(f"[bench] train/{name}: {dt*1e3:.1f} ms/step, {imgs:.1f} img/s, "
-          f"SoL {sol:.1f} ({imgs/sol*100:.1f}%), remat={remat}", file=sys.stderr)
+    imgs = batch * max(accum, 1) / dt
+    print(f"[bench] train/{preset}/{name}: {dt*1e3:.1f} ms/step, "
+          f"{imgs:.1f} img/s, SoL {sol:.1f} ({imgs/sol*100:.1f}%), "
+          f"remat={remat}, accum={accum}", file=sys.stderr)
     del state
-    return {
+    out = {
         "step": name,
         "preset": preset,
         "imgs_per_sec": round(imgs, 2),
         "vs_matmul_sol": round(imgs / sol, 4),
         "remat": str(remat),
     }
+    if accum > 1:
+        out["accum"] = accum
+        out["microbatch"] = batch
+    return out
 
 
 def _train_env_config(preset: str):
@@ -263,20 +290,30 @@ def bench_train() -> None:
     }))
 
 
-def bench_dit() -> None:
-    """BENCH_MODE=dit: DiT-XL/1 training-step throughput on f16d64
-    latents (the reference's generation recipe: global batch 1024,
-    generation/configs/train_vtp_l_dit_xl.yaml). Operating point
-    (round 3b, measured ladder in PERF.md): B=32 microbatches with
-    host-driven bf16 gradient accumulation (BENCH_ACCUM=8 default,
-    mirroring the reference's global-batch recipe on one chip) —
-    131.8 img/s vs 118.5 plain-step B=32 / 125.0 B=64 / 94.3 before
-    the qk-norm backward kernel arm. BENCH_ACCUM=1 benches the plain
-    jitted step."""
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
-    iters = int(os.environ.get("BENCH_ITERS", "8"))
-    accum = int(os.environ.get("BENCH_ACCUM", "8"))
+def dit_train_sol_samples_per_sec(cfg, remat="attn") -> float:
+    """Analytic matmul speed-of-light for the DiT train step (same
+    model as train_sol_imgs_per_sec: backward = 2x forward, plus the
+    recompute fraction of the remat policy)."""
+    n = cfg.tokens_per_side ** 2
+    d = cfg.dim
+    fwd = tower_flops(n, d, cfg.depth, cfg.ffn_hidden, ffn_gemms=3)
+    fwd += cfg.depth * 2 * d * 6 * d  # adaLN modulation GEMMs (per image)
+    fwd += 2 * n * cfg.token_dim * d + 2 * n * d * (cfg.token_dim + 6 * d / n)
+    if remat == "attn":
+        attn = 2 * 2 * n * n * d
+        per_layer = tower_flops(n, d, 1, cfg.ffn_hidden, ffn_gemms=3)
+        frac = 1.0 - attn / per_layer
+    else:
+        frac = {False: 0.0, "dots": 0.0, "dots_attn": 0.0}.get(remat, 1.0)
+    return V5E_BF16_PEAK / ((3.0 + frac) * fwd)
 
+
+def measure_dit(*, batch: int, iters: int, accum: int) -> dict:
+    """Measure DiT-XL/1 train-step throughput (shared by BENCH_MODE=dit
+    and the train section of the default bench). Operating point
+    (round 3b, measured ladder in PERF.md): B=32 microbatches with
+    host-driven bf16 gradient accumulation, remat="attn" + unrolled
+    depth loop (no-remat / dots_attn OOM the 675M model)."""
     from vtp_tpu.dit.model import make_dit_config
     from vtp_tpu.dit.train import (
         DiTTrainConfig,
@@ -290,7 +327,8 @@ def bench_dit() -> None:
     # fastest measured fit on v5e: remat="attn" (save attention outputs)
     # + unrolled depth loop (no-remat / dots_attn OOM the 675M model);
     # bf16 accumulator (fp32 next to the 10.8 GB train state OOMs)
-    tcfg = DiTTrainConfig(remat="attn", unroll_layers=True,
+    remat = "attn"
+    tcfg = DiTTrainConfig(remat=remat, unroll_layers=True,
                           accum_steps=accum, accum_dtype="bf16")
     state = init_dit_state(jax.random.key(0), cfg, tcfg)
     lat = jax.random.normal(jax.random.key(1), (batch, cfg.in_channels,
@@ -317,18 +355,51 @@ def bench_dit() -> None:
     t0 = time.perf_counter()
     state, metrics = run(state, jax.random.key(3))
     _ = float(metrics["loss/transport"])
-    print(f"[bench] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    print(f"[bench] train/DiT-XL compile+first: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
     t0 = time.perf_counter()
     for i in range(iters):
         state, metrics = run(state, jax.random.key(4 + i))
     _ = float(metrics["loss/transport"])
     dt = (time.perf_counter() - t0) / iters
+    sol = dit_train_sol_samples_per_sec(cfg, remat)
+    imgs = batch * max(accum, 1) / dt
+    print(f"[bench] train/DiT-XL: {dt*1e3:.1f} ms/step, {imgs:.1f} img/s, "
+          f"SoL {sol:.1f} ({imgs/sol*100:.1f}%), accum={accum}",
+          file=sys.stderr)
+    del state
+    out = {
+        "step": "DiT flow transport",
+        "preset": "DiT-XL/1",
+        "imgs_per_sec": round(imgs, 2),
+        "vs_matmul_sol": round(imgs / sol, 4),
+        "remat": remat,
+    }
+    if accum > 1:
+        out["accum"] = accum
+        out["microbatch"] = batch
+    return out
+
+
+def bench_dit() -> None:
+    """BENCH_MODE=dit: DiT-XL/1 training-step throughput on f16d64
+    latents (the reference's generation recipe: global batch 1024,
+    generation/configs/train_vtp_l_dit_xl.yaml). 131.8 img/s at
+    BENCH_ACCUM=8 vs 118.5 plain-step B=32 (round 3b ladder, PERF.md).
+    BENCH_ACCUM=1 benches the plain jitted step."""
+    r = measure_dit(
+        batch=int(os.environ.get("BENCH_BATCH", "32")),
+        iters=int(os.environ.get("BENCH_ITERS", "8")),
+        accum=int(os.environ.get("BENCH_ACCUM", "8")),
+    )
     print(json.dumps({
-        "metric": "DiT-XL/1 f16d64 train-step throughput (bf16, adaLN-zero, "
-                  f"flow transport, accum={accum})",
-        "value": round(batch * max(accum, 1) / dt, 2),
+        "metric": ("DiT-XL/1 f16d64 train-step throughput (bf16, adaLN-zero, "
+                   f"flow transport, accum={r.get('accum', 1)}); vs_baseline "
+                   "= fraction of the analytic bf16 matmul speed-of-light "
+                   "for this step+policy"),
+        "value": r["imgs_per_sec"],
         "unit": "samples/sec/chip",
-        "vs_baseline": None,
+        "vs_baseline": r["vs_matmul_sol"],
     }))
 
 
@@ -466,17 +537,41 @@ def main() -> None:
 
         gc.collect()
         train = []
+        train_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "10"))
         for ssl in (False, True):
             try:
                 remat, unroll = _train_env_config("vtp-base")
                 train.append(measure_train(
-                    preset="vtp-base", batch=32,
-                    iters=int(os.environ.get("BENCH_TRAIN_ITERS", "10")),
+                    preset="vtp-base", batch=32, iters=train_iters,
                     ssl=ssl, remat=remat, unroll=unroll))
             except Exception as e:  # pragma: no cover - OOM/compile guard
                 print(f"[bench] train ssl={ssl} failed: {e}", file=sys.stderr)
                 train.append({"step": "CLIP+SSL+rec" if ssl else "CLIP+rec",
                               "error": str(e)[:200]})
+            gc.collect()
+        # flagship preset (BASELINE.md north star): VTP-L CLIP+rec.
+        # remat="attn"+unroll B=32 is the measured operating point
+        # (no-remat fails to compile at every microbatch — activation-
+        # plan OOM; the round-4 ladder in PERF.md covers 8/16/32 x
+        # host accumulation).
+        try:
+            remat, unroll = _train_env_config("vtp-large")
+            train.append(measure_train(
+                preset="vtp-large", batch=32, iters=max(train_iters // 2, 4),
+                ssl=False, remat=remat, unroll=unroll))
+        except Exception as e:  # pragma: no cover - OOM/compile guard
+            print(f"[bench] train vtp-large failed: {e}", file=sys.stderr)
+            train.append({"step": "CLIP+rec", "preset": "vtp-large",
+                          "error": str(e)[:200]})
+        gc.collect()
+        # generation recipe: DiT-XL/1 with host-driven bf16 accumulation
+        try:
+            train.append(measure_dit(batch=32, iters=max(train_iters // 2, 4),
+                                     accum=8))
+        except Exception as e:  # pragma: no cover - OOM/compile guard
+            print(f"[bench] train DiT-XL failed: {e}", file=sys.stderr)
+            train.append({"step": "DiT flow transport", "preset": "DiT-XL/1",
+                          "error": str(e)[:200]})
         result["train"] = train
 
     print(json.dumps(result))
