@@ -550,15 +550,22 @@ def main() -> None:
                               "error": str(e)[:200]})
             gc.collect()
         # flagship preset (BASELINE.md north star): VTP-L CLIP+rec.
-        # remat="attn"+unroll B=32 is the measured operating point
-        # (no-remat fails to compile at every microbatch — activation-
-        # plan OOM; the round-4 ladder in PERF.md covers 8/16/32 x
-        # host accumulation).
+        # Operating point from the round-4 ladder (PERF.md "VTP-L
+        # accumulation ladder"): no-remat DOES compile at microbatch
+        # <= 16 with bf16 Adam moments (the r3 OOM was B=32-specific)
+        # and wins — 68.7 img/s at B=16 vs 65.0 for remat=attn B=32.
+        # BENCH_REMAT/BENCH_UNROLL still override (then B=32, fp32
+        # moments — the pre-ladder operating point).
         try:
-            remat, unroll = _train_env_config("vtp-large")
+            if os.environ.get("BENCH_REMAT") is None:
+                remat, unroll, lbatch, mom = False, True, 16, "bf16"
+            else:
+                remat, unroll = _train_env_config("vtp-large")
+                lbatch, mom = 32, "fp32"
             train.append(measure_train(
-                preset="vtp-large", batch=32, iters=max(train_iters // 2, 4),
-                ssl=False, remat=remat, unroll=unroll))
+                preset="vtp-large", batch=lbatch,
+                iters=max(train_iters // 2, 4),
+                ssl=False, remat=remat, unroll=unroll, moment_dtype=mom))
         except Exception as e:  # pragma: no cover - OOM/compile guard
             print(f"[bench] train vtp-large failed: {e}", file=sys.stderr)
             train.append({"step": "CLIP+rec", "preset": "vtp-large",

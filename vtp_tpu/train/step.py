@@ -520,16 +520,26 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
 
     def zero_accumulators(state, micro0):
         """Fresh (g_sum, m_sum, c_sum) for the host-driven microbatch
-        loop; ``micro0`` is ONE microbatch (no accum axis)."""
+        loop; ``micro0`` is ONE microbatch (no accum axis). Metric keys
+        are enumerated statically from the same (tcfg flag, batch key)
+        conditions as ``loss_fn`` — an ``eval_shape`` over
+        ``_loss_and_grads`` here would re-trace the whole unrolled
+        backward in Python on EVERY optimizer step (measured 44.5 s/step
+        at VTP-L B=16 no-remat; the round-4 accumulation ladder's
+        pathology)."""
         adt = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[tcfg.accum_dtype]
         g_sum = jax.tree.map(
             lambda p: jnp.zeros(p.shape, adt), state["params"]
         )
-        m_shapes = jax.eval_shape(
-            lambda s, b: _loss_and_grads(s, b, jax.random.key(0))[1],
-            state, micro0,
-        )
-        m_sum = jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), m_shapes)
+        m_keys = []
+        if tcfg.train_clip and "image" in micro0:
+            m_keys.append("loss/clip")
+        if tcfg.train_reconstruction and "rec_image" in micro0:
+            m_keys.append("loss/rec")
+        if tcfg.train_ssl and "ssl" in micro0:
+            m_keys += ["loss/dino", "loss/ibot", "loss/koleo"]
+        m_keys.append("loss/total")
+        m_sum = {k: jnp.zeros((), jnp.float32) for k in m_keys}
         c_sum = None
         if tcfg.train_ssl and "ssl" in micro0:
             d = tcfg.dino_out_dim
