@@ -180,6 +180,81 @@ def test_train_step_sharded_dp_tp():
     assert w1[-1] == "model"
 
 
+def test_train_step_sequence_parallel_matches():
+    """Megatron-SP (TrainConfig.sequence_parallel) only changes the
+    activation LAYOUT — sharding residual token rows over the model
+    axis — so the step must reproduce the non-SP losses on the same
+    4x2 mesh (up to collective reduction-order noise)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vtp_tpu.parallel import make_mesh, shard_params
+
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    mesh = make_mesh(4, 2)
+    nodrop = TrainConfig(**{**TTINY.__dict__, "clip_drop_rate": 0.0,
+                            "ssl_drop_rate": 0.0, "rec_drop_rate": 0.0})
+    sp = TrainConfig(**{**nodrop.__dict__, "sequence_parallel": True})
+
+    batch = make_batch(jax.random.key(1))
+    bs = lambda x: jax.device_put(
+        x, NamedSharding(mesh, P("data", *(None,) * (x.ndim - 1)))
+    )
+    batch = jax.tree.map(bs, batch)
+
+    losses = {}
+    for name, tcfg in (("base", nodrop), ("sp", sp)):
+        state = init_state(jax.random.key(0), TINY, tcfg)
+        state["params"] = shard_params(state["params"], mesh)
+        if "teacher" in state:
+            state["teacher"] = shard_params(state["teacher"], mesh)
+        step = jax.jit(build_train_step(TINY, tcfg))
+        with jax.set_mesh(mesh):
+            _, metrics = step(state, batch, jax.random.key(2))
+        losses[name] = {k: float(v) for k, v in metrics.items()
+                        if k.startswith("loss/")}
+    for k in losses["base"]:
+        rel = abs(losses["sp"][k] - losses["base"][k]) / max(
+            abs(losses["base"][k]), 1e-9)
+        assert rel < 1e-4, (k, losses["base"][k], losses["sp"][k])
+
+
+def test_constrain_residual_specs():
+    """constrain_residual picks the SP spec only when enabled, a model
+    axis exists, and the token dim divides the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vtp_tpu.parallel import make_mesh
+    from vtp_tpu.parallel.sharding import constrain_residual, sequence_parallel
+
+    mesh = make_mesh(4, 2)
+
+    def lowered_shardings(fn, x):
+        with jax.set_mesh(mesh):
+            txt = jax.jit(fn).lower(x).as_text()
+        return txt
+
+    x = jnp.zeros((16, 8))  # rows=16 divides 8 devices
+    base = lowered_shardings(lambda t: constrain_residual(t) * 1.0, x)
+    # non-SP: rows over data only
+    assert '[{"data"}, {}]' in base
+
+    with sequence_parallel():
+        sp_txt = lowered_shardings(lambda t: constrain_residual(t) * 1.0, x)
+        # SP: rows over (data, model) -> fully tiled over all 8
+        assert '[{"data", "model"}, {}]' in sp_txt
+
+        # non-divisible rows fall back to the data-only layout
+        y = jnp.zeros((12, 8))
+        fb = lowered_shardings(lambda t: constrain_residual(t) * 1.0, y)
+        assert '[{"data"}, {}]' in fb
+
+        # (B, N, D) layout: tokens shard over model on axis 1
+        z = jnp.zeros((8, 4, 8))
+        bn = lowered_shardings(
+            lambda t: constrain_residual(t, token_axis=1) * 1.0, z)
+        assert '[{"data"}, {"model"}, {}]' in bn
+
+
 NODROP = TrainConfig(**{**TTINY.__dict__, "clip_drop_rate": 0.0,
                         "ssl_drop_rate": 0.0, "rec_drop_rate": 0.0})
 

@@ -79,6 +79,11 @@ def parse_args(argv=None):
                         "the unrolled-backward win at a fraction of its "
                         "compile cost (PERF.md round 3)")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="Megatron-SP activation layout: shard residual "
+                        "token rows over the model axis between the "
+                        "column/row-parallel GEMM pairs (needs a model "
+                        "axis > 1 in --mesh)")
     p.add_argument("--mesh", default=None,
                    help="DATA,MODEL mesh shape (default: all devices on data)")
     p.add_argument("--out", default="./vtp_ckpt")
@@ -264,6 +269,7 @@ def main(argv=None) -> None:
         drop_shards=n_data,
         accum_steps=args.accum_steps,
         moment_dtype=args.moment_dtype,
+        sequence_parallel=args.sequence_parallel,
     )
 
     state = init_state(jax.random.key(args.seed), cfg, tcfg)

@@ -36,7 +36,7 @@ from vtp_tpu.ops.norms import apply_norm, norm_eps
 from vtp_tpu.ops.rope import apply_rope_with_prefix
 from vtp_tpu.ops.norms import rms_norm
 from vtp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from vtp_tpu.parallel.sharding import maybe_constrain
+from vtp_tpu.parallel.sharding import constrain_residual, maybe_constrain
 
 Rope = Optional[Tuple[jax.Array, jax.Array]]
 
@@ -313,8 +313,9 @@ def block_apply(
         )
 
     # residual streams: batch over data, features replicated (Megatron
-    # activations are full between the column/row-parallel GEMM pairs)
-    res_spec = lambda x: maybe_constrain(x, DATA_AXIS, None, None)
+    # activations are full between the column/row-parallel GEMM pairs);
+    # under sequence_parallel() the token dim also shards over model
+    res_spec = lambda x: constrain_residual(x, token_axis=1)
     flat, shapes = pack(xs)
     n1 = apply_norm(flat, p["norm1"], cfg.norm_kind, cfg.eps)
     attn_out = _maybe_ls(attention_apply(n1, shapes, p["attn"], cfg, ropes, compute_dtype, n_valids), p, "ls1")
@@ -346,7 +347,7 @@ def block_apply_flat(
     step (PERF.md round 3). Used by ``scan_blocks`` whenever drop-path
     is off; drop-path gathers per-crop batch subsets and keeps the
     (B, N, D) carry."""
-    res_spec = lambda x: maybe_constrain(x, DATA_AXIS, None)
+    res_spec = constrain_residual
     n1 = apply_norm(flat, p["norm1"], cfg.norm_kind, cfg.eps)
     attn_out = _maybe_ls(
         attention_apply(n1, shapes, p["attn"], cfg, ropes, compute_dtype, n_valids),

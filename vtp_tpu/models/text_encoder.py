@@ -119,7 +119,7 @@ def _text_block(x: jax.Array, p: dict, cfg: TextConfig,
     (test_zero_shot_hf.py:342-394)."""
 
     from vtp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-    from vtp_tpu.parallel.sharding import maybe_constrain
+    from vtp_tpu.parallel.sharding import constrain_residual, maybe_constrain
 
     B, L, W = x.shape
     nh, hd = cfg.heads, cfg.head_dim
@@ -150,7 +150,7 @@ def _text_block(x: jax.Array, p: dict, cfg: TextConfig,
     o = linear(o, p["attn"]["out_proj"], compute_dtype)
     if "ls_1" in p:
         o = o * p["ls_1"]["gamma"]
-    x = maybe_constrain(x + o, DATA_AXIS, None, None)
+    x = constrain_residual(x + o, token_axis=1)
 
     h = layer_norm(x, p["ln_2"]["scale"], p["ln_2"]["bias"], cfg.ln_eps)
     h = act(linear(h, p["mlp"]["c_fc"], compute_dtype))
@@ -158,7 +158,7 @@ def _text_block(x: jax.Array, p: dict, cfg: TextConfig,
     h = linear(h, p["mlp"]["c_proj"], compute_dtype)
     if "ls_2" in p:
         h = h * p["ls_2"]["gamma"]
-    return maybe_constrain(x + h, DATA_AXIS, None, None)
+    return constrain_residual(x + h, token_axis=1)
 
 
 def causal_mask(n: int) -> jax.Array:

@@ -10,6 +10,9 @@ from vtp_tpu.parallel.sharding import (
     shard_params,
     batch_sharding,
     maybe_constrain,
+    constrain_residual,
+    sequence_parallel,
+    sequence_parallel_enabled,
     replicated,
 )
 
@@ -23,5 +26,8 @@ __all__ = [
     "shard_params",
     "batch_sharding",
     "maybe_constrain",
+    "constrain_residual",
+    "sequence_parallel",
+    "sequence_parallel_enabled",
     "replicated",
 ]

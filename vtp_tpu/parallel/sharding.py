@@ -75,7 +75,9 @@ def maybe_constrain(x: Any, *spec) -> Any:
 
     Axis names in ``spec`` that are absent from the ambient mesh are
     dropped (e.g. a ``model`` annotation under a pure-data mesh), so
-    call sites can state the full (data, model) intent once. Used at
+    call sites can state the full (data, model) intent once. A spec
+    entry may also be a tuple of axis names (sharding one dim over
+    several mesh axes); absent names are dropped from the tuple. Used at
     block boundaries in models/blocks.py, ops/ffn.py and
     models/text_encoder.py to pin the Megatron activation layout —
     without these, GSPMD propagation through the scan/remat backward
@@ -97,8 +99,85 @@ def maybe_constrain(x: Any, *spec) -> Any:
     except ImportError:  # pragma: no cover - older jax
         pass
     axes = set(dict(mesh.shape))
-    clean = tuple(s if (s is None or s in axes) else None for s in spec)
-    return jax.lax.with_sharding_constraint(x, P(*clean))
+
+    def _clean(s):
+        if s is None:
+            return None
+        if isinstance(s, tuple):
+            kept = tuple(a for a in s if a in axes)
+            return kept if kept else None
+        return s if s in axes else None
+
+    return jax.lax.with_sharding_constraint(x, P(*(_clean(s) for s in spec)))
+
+
+# ------------------------------------------------- sequence parallelism
+#
+# Megatron-style sequence parallelism (Korthikanti et al. 2022, §4.2.2,
+# arXiv:2205.05198): between the column/row-parallel GEMM pairs the
+# activations are full-featured and — without SP — replicated over the
+# ``model`` axis, so every TP rank redundantly computes the norms,
+# residual adds and drop paths on the full token stream and holds the
+# full (rows, D) activations. With SP the residual stream's token rows
+# are sharded over ``model`` as well: GSPMD turns the row-parallel
+# GEMM's all-reduce into reduce-scatter + (at the next column-parallel
+# GEMM) all-gather — identical bytes on the wire, but the elementwise
+# region computes 1/tp of the rows per chip and the saved activations
+# shrink by tp. Expressed purely as a different sharding constraint at
+# the residual boundaries; XLA places the collectives.
+
+_SEQUENCE_PARALLEL = False
+
+
+def sequence_parallel_enabled() -> bool:
+    """True when residual token rows should shard over (data, model)."""
+    return _SEQUENCE_PARALLEL
+
+
+class sequence_parallel:
+    """Context manager enabling the SP activation layout at trace time.
+
+    Trace-scoped (affects the constraints emitted while tracing), so
+    enter it around the jitted function's *definition/trace*, e.g. the
+    loss_fn body in train/step.py (``TrainConfig.sequence_parallel``)."""
+
+    def __init__(self, enable: bool = True):
+        self.enable = bool(enable)
+
+    def __enter__(self):
+        global _SEQUENCE_PARALLEL
+        self._saved = _SEQUENCE_PARALLEL
+        _SEQUENCE_PARALLEL = self.enable
+        return self
+
+    def __exit__(self, *exc):
+        global _SEQUENCE_PARALLEL
+        _SEQUENCE_PARALLEL = self._saved
+        return False
+
+
+def constrain_residual(x: Any, token_axis: int = 0) -> Any:
+    """Pin the residual token stream at a block boundary.
+
+    Default layout: token rows over ``data``, features replicated. Under
+    ``sequence_parallel()`` the rows also shard over ``model``
+    (``token_axis=0``: packed (rows, D) — rows over (data, model);
+    ``token_axis=1``: (B, N, D) — batch over data, tokens over model).
+    Falls back to the non-SP layout when the token dim does not divide
+    by the mesh (GSPMD would pad unevenly)."""
+    from vtp_tpu.parallel.mesh import active_mesh, mesh_axis_size
+
+    spec: list = [DATA_AXIS] + [None] * (x.ndim - 1)
+    if _SEQUENCE_PARALLEL:
+        mesh = active_mesh()
+        n_model = mesh_axis_size(mesh, MODEL_AXIS)
+        if n_model > 1:
+            n_data = mesh_axis_size(mesh, DATA_AXIS)
+            if token_axis == 0 and x.shape[0] % (n_data * n_model) == 0:
+                spec[0] = (DATA_AXIS, MODEL_AXIS)
+            elif token_axis == 1 and x.ndim >= 2 and x.shape[1] % n_model == 0:
+                spec[1] = MODEL_AXIS
+    return maybe_constrain(x, *spec)
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:

@@ -107,6 +107,12 @@ class TrainConfig:
     unroll_layers: Union[bool, int] = False
     # parallelism (drop-path shard count, = data-axis size)
     drop_shards: int = 1
+    # Megatron sequence parallelism (arXiv:2205.05198 §4.2.2): shard the
+    # residual token rows over the model axis between the column/row-
+    # parallel GEMM pairs — same collective bytes (all-reduce becomes
+    # reduce-scatter + all-gather), 1/tp the elementwise compute and
+    # saved-activation memory per chip. No-op without a model axis > 1.
+    sequence_parallel: bool = False
     # gradient accumulation: when > 1, every batch leaf must carry a
     # leading (accum_steps,) microbatch axis (tree-stack accum_steps
     # microbatches); grads are averaged across microbatches before one
@@ -380,9 +386,12 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
             metrics["loss/total"] = total
             return total, (metrics, aux)
 
-        (_, (metrics, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state["params"]
-        )
+        from vtp_tpu.parallel.sharding import sequence_parallel
+
+        with sequence_parallel(tcfg.sequence_parallel):
+            (_, (metrics, aux)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state["params"])
         return grads, metrics, aux
 
     def _center_stats(aux, ssl_batch):
