@@ -5,6 +5,12 @@ from vtp_tpu.parallel.mesh import (
     DATA_AXIS,
     MODEL_AXIS,
 )
+from vtp_tpu.parallel.pipeline import (
+    PIPE_AXIS,
+    make_pipeline_mesh,
+    pipeline_apply,
+    pipeline_blocks,
+)
 from vtp_tpu.parallel.sharding import (
     param_partition_specs,
     shard_params,
@@ -30,4 +36,8 @@ __all__ = [
     "sequence_parallel",
     "sequence_parallel_enabled",
     "replicated",
+    "PIPE_AXIS",
+    "make_pipeline_mesh",
+    "pipeline_apply",
+    "pipeline_blocks",
 ]
