@@ -552,20 +552,23 @@ def main() -> None:
         # flagship preset (BASELINE.md north star): VTP-L CLIP+rec.
         # Operating point from the round-4 ladder (PERF.md "VTP-L
         # accumulation ladder"): no-remat DOES compile at microbatch
-        # <= 16 with bf16 Adam moments (the r3 OOM was B=32-specific)
-        # and wins — 68.7 img/s at B=16 vs 65.0 for remat=attn B=32.
-        # BENCH_REMAT/BENCH_UNROLL still override (then B=32, fp32
-        # moments — the pre-ladder operating point).
+        # <= 16 with bf16 Adam moments (the r3 OOM was B=32-specific),
+        # and host accumulation to global 256 amortizes the ~700M-param
+        # optimizer/EMA HBM pass — 75.2 img/s vs 68.4 plain B=16 and
+        # 65.7 for remat=attn B=32 x accum 8. BENCH_REMAT/BENCH_UNROLL
+        # still override (then plain-step B=32, fp32 moments — the
+        # pre-ladder operating point).
         try:
             if os.environ.get("BENCH_REMAT") is None:
-                remat, unroll, lbatch, mom = False, True, 16, "bf16"
+                remat, unroll, lbatch, mom, acc = False, True, 16, "bf16", 16
             else:
                 remat, unroll = _train_env_config("vtp-large")
-                lbatch, mom = 32, "fp32"
+                lbatch, mom, acc = 32, "fp32", 1
             train.append(measure_train(
                 preset="vtp-large", batch=lbatch,
                 iters=max(train_iters // 2, 4),
-                ssl=False, remat=remat, unroll=unroll, moment_dtype=mom))
+                ssl=False, remat=remat, unroll=unroll, moment_dtype=mom,
+                accum=acc))
         except Exception as e:  # pragma: no cover - OOM/compile guard
             print(f"[bench] train vtp-large failed: {e}", file=sys.stderr)
             train.append({"step": "CLIP+rec", "preset": "vtp-large",
