@@ -22,6 +22,7 @@ TPU-first design choices:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -255,9 +256,35 @@ def apply_rope_bnhd(q: jax.Array, k: jax.Array, sin: jax.Array, cos: jax.Array):
 def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array,
               n_valid: int = 0) -> jax.Array:
     """SDPA over (B, N, H, hd) without host-side transposes.
-    ``n_valid`` masks trailing padded key columns (token alignment)."""
+    ``n_valid`` masks trailing padded key columns (token alignment).
+
+    Under an ambient mesh with a ``seq`` axis (context parallelism,
+    ``parallel.mesh.make_cp_mesh``) the token dim shards over the mesh
+    and attention rides a CP arm (ops/ring_attention.py): Ulysses
+    all-to-all head re-sharding when heads divide the axis (2
+    collectives, full-N scores over H/S local heads), else the ppermute
+    KV ring ((N/S, N/S) score blocks, unbounded N). ``VTP_CP_MODE`` in
+    {auto, ring, ulysses} overrides the preference (read at trace time —
+    set it before the first call of a given shape)."""
 
     from vtp_tpu.ops.flash_attention import pallas_enabled
+
+    from vtp_tpu.parallel.mesh import active_mesh
+    mesh = active_mesh()
+    if mesh is not None:
+        from vtp_tpu.ops.ring_attention import (
+            ring_attention_bnhd,
+            ring_supported,
+            ulysses_attention_bnhd,
+            ulysses_supported,
+        )
+
+        mode = os.environ.get("VTP_CP_MODE", "auto")
+        if (mode in ("auto", "ulysses")
+                and ulysses_supported(q, mesh, n_valid)):
+            return ulysses_attention_bnhd(q, k, v, n_valid=n_valid, mesh=mesh)
+        if mode != "ulysses" and ring_supported(q, mesh, n_valid):
+            return ring_attention_bnhd(q, k, v, n_valid=n_valid, mesh=mesh)
 
     n = q.shape[1]
     if (pallas_enabled() and q.dtype == jnp.bfloat16

@@ -76,12 +76,17 @@ def _mesh_ok(batch: int) -> bool:
     TP shards the qkv features/heads over ``model`` and GSPMD keeps the
     einsum attention head-sharded, whereas the batch-sharded kernel
     would force an all-gather of the features every layer."""
-    from vtp_tpu.parallel.mesh import MODEL_AXIS, mesh_axis_size
+    from vtp_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS, mesh_axis_size
 
     mesh, n = _mesh_batch_shards()
     if mesh is None:
         return True
     if mesh_axis_size(mesh, MODEL_AXIS) > 1:
+        return False
+    if mesh_axis_size(mesh, SEQ_AXIS) > 1:
+        # context-parallel mesh: tokens shard over `seq` and attention
+        # rides the ring (ops/ring_attention.py via sdpa_bnhd) — the
+        # batch-sharded kernel would replicate every token shard.
         return False
     return n == 1 or batch % n == 0
 

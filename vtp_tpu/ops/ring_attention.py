@@ -14,11 +14,15 @@ Pure-JAX online-softmax accumulation (the flash-attention recurrence),
 so it is differentiable end-to-end and XLA fuses the rescale chain;
 the per-block math runs on the MXU via einsum. The Pallas flash kernel
 stays the single-chip fast path (ops/flash_attention.py) — this op is
-the beyond-single-chip escape hatch, dispatched explicitly.
+the beyond-single-chip arm, dispatched from ``models/blocks.sdpa_bnhd``
+whenever the ambient mesh (``jax.set_mesh``) carries a ``seq`` axis
+(``parallel.mesh.make_cp_mesh``), so the whole encoder composes with
+context parallelism through the public API.
 
 Reference behavior matched: ``F.scaled_dot_product_attention``
 (vtp/models/layers/attention.py:124) — full bidirectional attention,
-fp32 softmax accumulation, same scale convention.
+fp32 softmax accumulation, same scale convention; ``n_valid`` mirrors
+the token-alignment key-padding mask of ``sdpa_bnhd``.
 """
 
 from __future__ import annotations
@@ -30,26 +34,45 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-SEQ_AXIS = "seq"
+from vtp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, mesh_axis_size
+
+# Finite stand-in for -inf in the online-softmax max: keeps
+# exp(m - m_new) well-defined when an entire KV block is masked out
+# (alpha hits exp(0)=1 while acc/l are still 0 — a no-op, not a NaN).
+_NEG_BIG = -1e30
 
 
 def _ring_attention_local(
-    q: jax.Array, k: jax.Array, v: jax.Array, *, axis: str, scale: float
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis: str,
+    scale: float,
+    n_valid: int = 0,
 ) -> jax.Array:
     """Per-device body (inside shard_map): q/k/v are (B, Nl, H, D)
-    token shards; K/V rotate S times around the ring."""
+    token shards; K/V rotate S times around the ring. ``n_valid`` masks
+    GLOBAL key columns >= n_valid (token-alignment padding)."""
     n_dev = jax.lax.axis_size(axis)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     B, Nl, H, D = q.shape
     qf = q.astype(jnp.float32)
+    dev = jax.lax.axis_index(axis)
 
-    def step(carry, _):
+    def step(carry, t):
         acc, m, l, k_blk, v_blk = carry
         # (B, Nl_q, H, Nl_kv) score block on the MXU
         s = jnp.einsum(
             "bqhd,bkhd->bqhk", qf, k_blk.astype(jnp.float32)
         ) * scale
-        m_new = jnp.maximum(m, s.max(axis=-1))
+        if n_valid:
+            # after t rotations this device holds the KV shard that
+            # started on device (dev - t) mod S => global column offset
+            src = jax.lax.rem(dev - t + n_dev, n_dev)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3) + src * Nl
+            s = jnp.where(col < n_valid, s, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.maximum(s.max(axis=-1), _NEG_BIG))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new[..., None])
         l = l * alpha + p.sum(axis=-1)
@@ -62,12 +85,134 @@ def _ring_attention_local(
         return (acc, m_new, l, k_blk, v_blk), None
 
     acc0 = jnp.zeros((B, Nl, H, D), jnp.float32)
-    m0 = jnp.full((B, Nl, H), -jnp.inf, jnp.float32)
+    m0 = jnp.full((B, Nl, H), _NEG_BIG, jnp.float32)
     l0 = jnp.zeros((B, Nl, H), jnp.float32)
     (acc, m, l, _, _), _ = jax.lax.scan(
-        step, (acc0, m0, l0, k, v), None, length=n_dev
+        step, (acc0, m0, l0, k, v), jnp.arange(n_dev)
     )
     return (acc / l[..., None]).astype(q.dtype)
+
+
+def ring_supported(q: jax.Array, mesh, n_valid: int = 0) -> bool:
+    """Whether (B, N, H, D) attention can ride the ring on ``mesh``:
+    a ``seq`` axis > 1, token dim divisible by it, no tensor parallelism
+    (TP shards the head dim over ``model`` — the ring shards tokens; the
+    two compose only at model=1 today), and batch divisible by any data
+    axis so the outer shard_map splits cleanly."""
+    if mesh is None:
+        return False
+    n_seq = mesh_axis_size(mesh, SEQ_AXIS)
+    if n_seq <= 1:
+        return False
+    if mesh_axis_size(mesh, MODEL_AXIS) > 1:
+        return False
+    if q.shape[1] % n_seq:
+        return False
+    n_data = mesh_axis_size(mesh, DATA_AXIS)
+    if n_data > 1 and q.shape[0] % n_data:
+        return False
+    if n_valid:
+        # every query shard must see >= 1 valid key column overall
+        if n_valid <= 0:
+            return False
+    return True
+
+
+def ring_attention_bnhd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mesh: Mesh,
+    scale: Optional[float] = None,
+    n_valid: int = 0,
+) -> jax.Array:
+    """Trace-context entry: shard_map (no jit wrapper — composes under
+    an enclosing ``jit``) with batch over ``data`` (when present/divisible)
+    and tokens over ``seq``. Callers gate on :func:`ring_supported`."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n_data = mesh_axis_size(mesh, DATA_AXIS)
+    b_axis = DATA_AXIS if (n_data > 1 and q.shape[0] % n_data == 0) else None
+    spec = P(b_axis, SEQ_AXIS, None, None)
+    body = partial(
+        _ring_attention_local, axis=SEQ_AXIS, scale=scale, n_valid=n_valid
+    )
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
+def _ulysses_attention_local(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis: str,
+    scale: float,
+    n_valid: int = 0,
+) -> jax.Array:
+    """Per-device body (inside shard_map): Ulysses / DeepSpeed-style
+    sequence parallelism (Jacobs et al. 2023, arXiv:2309.14509).
+
+    Two all-to-alls re-shard (B, Nl, H, D) token shards into
+    (B, N, H/S, D) head shards, so each device runs FULL-sequence
+    attention over its head subset — one (N, N) score block per local
+    head instead of S ppermute hops. Wins over the ring when the head
+    dim divides the axis and N fits per chip (VTP's N <= a few
+    thousand); the ring remains the unbounded-N arm."""
+    n_dev = jax.lax.axis_size(axis)
+    # tokens (axis 1, local Nl) gather; heads (axis 2) scatter
+    q, k, v = (
+        jax.lax.all_to_all(x, axis, split_axis=2, concat_axis=1, tiled=True)
+        for x in (q, k, v)
+    )
+    s = jnp.einsum(
+        "bqhd,bkhd->bqhk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    if n_valid:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bqhk,bkhd->bqhd", p, v.astype(jnp.float32))
+    o = o.astype(q.dtype)
+    # heads gather back; tokens scatter back to the seq shard
+    return jax.lax.all_to_all(o, axis, split_axis=1, concat_axis=2, tiled=True)
+
+
+def ulysses_supported(q: jax.Array, mesh, n_valid: int = 0) -> bool:
+    """Ulysses needs everything the ring needs PLUS the head count
+    divisible by the ``seq`` axis (heads re-shard over it)."""
+    return ring_supported(q, mesh, n_valid) and q.shape[2] % dict(
+        mesh.shape
+    )[SEQ_AXIS] == 0
+
+
+def ulysses_attention_bnhd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mesh: Mesh,
+    scale: Optional[float] = None,
+    n_valid: int = 0,
+) -> jax.Array:
+    """Trace-context entry for the all-to-all CP arm; same contract as
+    :func:`ring_attention_bnhd` (callers gate on
+    :func:`ulysses_supported`)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    n_data = mesh_axis_size(mesh, DATA_AXIS)
+    b_axis = DATA_AXIS if (n_data > 1 and q.shape[0] % n_data == 0) else None
+    spec = P(b_axis, SEQ_AXIS, None, None)
+    body = partial(
+        _ulysses_attention_local, axis=SEQ_AXIS, scale=scale, n_valid=n_valid
+    )
+    return jax.shard_map(
+        body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
 
 
 def ring_attention(
@@ -78,6 +223,7 @@ def ring_attention(
     mesh: Mesh,
     axis: str = SEQ_AXIS,
     scale: Optional[float] = None,
+    n_valid: int = 0,
 ) -> jax.Array:
     """Bidirectional SDPA with the token dim sharded over ``axis``.
 
@@ -88,6 +234,8 @@ def ring_attention(
         matrix never materializes beyond ``(N/S, N/S)`` per chip.
       mesh: mesh containing ``axis``.
       scale: defaults to ``D ** -0.5``.
+      n_valid: mask trailing padded key columns (global index) like
+        ``sdpa_bnhd``; 0 = all valid.
 
     Returns ``(B, N, H, D)``, numerically the full-attention result
     (online-softmax accumulation in fp32).
@@ -98,7 +246,9 @@ def ring_attention(
     if q.shape[1] % n_dev:
         raise ValueError(f"N={q.shape[1]} must divide by {n_dev} ({axis})")
 
-    body = partial(_ring_attention_local, axis=axis, scale=scale)
+    body = partial(
+        _ring_attention_local, axis=axis, scale=scale, n_valid=n_valid
+    )
     spec = P(None, axis, None, None)
     sharded = jax.shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,

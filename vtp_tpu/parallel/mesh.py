@@ -20,6 +20,7 @@ from jax.sharding import Mesh
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"  # context parallelism: attention token dim (ring attention)
 
 
 def active_mesh():
@@ -60,3 +61,21 @@ def make_mesh(
         raise ValueError(f"mesh {n_data}x{n_model} != {len(devices)} devices")
     arr = np.asarray(devices).reshape(n_data, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def make_cp_mesh(
+    n_seq: int,
+    n_data: int = 1,
+    *,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a ``(data, seq)`` context-parallel mesh: batch over ``data``,
+    attention token dim over ``seq`` (ring attention —
+    ops/ring_attention.py). Under ``jax.set_mesh`` of such a mesh the
+    model forward dispatches its attention to the ring automatically
+    (models/blocks.sdpa_bnhd)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data * n_seq != len(devices):
+        raise ValueError(f"mesh {n_data}x{n_seq} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(n_data, n_seq)
+    return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
