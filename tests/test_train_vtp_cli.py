@@ -132,3 +132,26 @@ def _tiny_config_json(tmp_path) -> str:
     p = tmp_path / "config.json"
     p.write_text(json.dumps(cfg))
     return str(p)
+
+
+def test_train_vtp_cli_context_parallel(image_dir, tmp_path, monkeypatch):
+    """--context_parallel N builds a (data, seq) mesh and the step's
+    attention rides the ring: one tiny step must run and checkpoint.
+    VTP_FORCE_TOKEN_PAD pads N=5 -> 8 so the token dim divides seq=4
+    (on TPU the alignment padding is automatic)."""
+    monkeypatch.setenv("VTP_FORCE_TOKEN_PAD", "1")
+    import train_vtp
+
+    out = str(tmp_path / "ckpt_cp")
+    train_vtp.main([
+        "--data_dir", image_dir, "--out", out,
+        "--objectives", "clip,rec", "--context_parallel", "4",
+        "--batch_size", "8", "--steps", "1", "--local_crops", "2",
+        "--local_size", "16", "--num_workers", "2",
+        "--ckpt_every", "1", "--log_every", "1",
+        "--compute_dtype", "fp32", "--no_remat",
+        "--allow_pseudo_captions",
+        "--config", _tiny_config_json(tmp_path),
+    ])
+    from vtp_tpu.checkpoint import latest_train_state_step
+    assert latest_train_state_step(out) == 1

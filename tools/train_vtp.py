@@ -86,6 +86,11 @@ def parse_args(argv=None):
                         "axis > 1 in --mesh)")
     p.add_argument("--mesh", default=None,
                    help="DATA,MODEL mesh shape (default: all devices on data)")
+    p.add_argument("--context_parallel", type=int, default=1,
+                   help="shard the attention token dim over a seq axis of "
+                        "this size (ring/Ulysses context parallelism, "
+                        "ops/ring_attention.py); composes with the data "
+                        "axis, incompatible with a model axis > 1")
     p.add_argument("--out", default="./vtp_ckpt")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--ckpt_every", type=int, default=2000)
@@ -242,10 +247,17 @@ def main(argv=None) -> None:
     cfg = _load_config(args)
     objectives = set(args.objectives.split(","))
     n_devices = jax.device_count()
+    n_seq = args.context_parallel
     if args.mesh:
         n_data, n_model = (int(x) for x in args.mesh.split(","))
     else:
-        n_data, n_model = n_devices, 1
+        n_data, n_model = n_devices // max(n_seq, 1), 1
+    if n_seq > 1 and n_model > 1:
+        raise SystemExit("--context_parallel needs model axis 1 "
+                         "(the seq axis shards tokens; TP shards heads)")
+    if n_seq > 1 and n_data * n_seq != n_devices:
+        raise SystemExit(f"--context_parallel {n_seq} x data {n_data} != "
+                         f"{n_devices} devices")
     if args.batch_size % max(args.accum_steps * n_data, 1):
         raise SystemExit(f"global batch {args.batch_size} must divide by "
                          f"accum_steps x data axis "
@@ -279,7 +291,12 @@ def main(argv=None) -> None:
         start_step = int(state["step"])
         print(f"[train_vtp] resumed from step {start_step}")
 
-    mesh = make_mesh(n_data, n_model) if n_devices > 1 else None
+    if n_seq > 1:
+        from vtp_tpu.parallel.mesh import make_cp_mesh
+
+        mesh = make_cp_mesh(n_seq, n_data)
+    else:
+        mesh = make_mesh(n_data, n_model) if n_devices > 1 else None
     if mesh is not None:
         from vtp_tpu.parallel import shard_params
 
