@@ -1,9 +1,11 @@
 from vtp_tpu.parallel.mesh import (
     make_mesh,
+    make_cp_mesh,
     active_mesh,
     mesh_axis_size,
     DATA_AXIS,
     MODEL_AXIS,
+    SEQ_AXIS,
 )
 from vtp_tpu.parallel.pipeline import (
     PIPE_AXIS,
@@ -24,10 +26,12 @@ from vtp_tpu.parallel.sharding import (
 
 __all__ = [
     "make_mesh",
+    "make_cp_mesh",
     "active_mesh",
     "mesh_axis_size",
     "DATA_AXIS",
     "MODEL_AXIS",
+    "SEQ_AXIS",
     "param_partition_specs",
     "shard_params",
     "batch_sharding",
