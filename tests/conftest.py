@@ -30,3 +30,22 @@ import pytest
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture
+def kernels():
+    """Scoped kernel-dispatch configuration (vtp_tpu.ops.dispatch).
+
+    The VTP_* dispatch env vars are read ONCE at import, so tests
+    configure the dispatch directly: ``kernels(interpret=True)``.
+    configure_kernels clears the jax compilation caches on any change —
+    and again at teardown when restoring — so no trace compiled under an
+    override can leak into another test (the round-4 stale-cache hazard,
+    now eliminated by construction)."""
+    import dataclasses
+
+    from vtp_tpu.ops import dispatch
+
+    old = dataclasses.asdict(dispatch.kernel_dispatch())
+    yield dispatch.configure_kernels
+    dispatch.configure_kernels(**old)

@@ -21,8 +21,8 @@ from vtp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 
 
 @pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+def _interpret(kernels):
+    kernels(interpret=True)
 
 
 @pytest.fixture()
@@ -186,10 +186,9 @@ def test_no_allgather_in_compiled_forward(rng, mesh):
 
 def test_sharded_block_attention_end_to_end(rng, mesh):
     """attention_apply (the model-level dispatch) under the mesh picks
-    the kernel and matches the VTP_DISABLE_FLASH oracle."""
-    import os
-
+    the kernel and matches the disable_flash oracle."""
     from vtp_tpu.models.blocks import BlockConfig, attention_apply, init_block_params
+    from vtp_tpu.ops.dispatch import kernel_overrides
 
     cfg = BlockConfig(dim=64, num_heads=2, use_qk_norm=False)
     p = init_block_params(jax.random.key(0), cfg)
@@ -201,11 +200,8 @@ def test_sharded_block_attention_end_to_end(rng, mesh):
     cos_t = jnp.asarray(rng.standard_normal((N, 32)) * 0.5, jnp.bfloat16)
     ropes = [(sin_t, cos_t)]
 
-    os.environ["VTP_DISABLE_FLASH"] = "1"
-    try:
+    with kernel_overrides(disable_flash=True):
         want = attention_apply(flat, shapes, p["attn"], cfg, ropes, jnp.bfloat16)
-    finally:
-        del os.environ["VTP_DISABLE_FLASH"]
     with jax.set_mesh(mesh):
         got = jax.jit(
             lambda f: attention_apply(f, shapes, p["attn"], cfg, ropes, jnp.bfloat16)

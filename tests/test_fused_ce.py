@@ -16,9 +16,9 @@ from vtp_tpu.ops.fused_ce import (
 
 
 @pytest.fixture(autouse=True)
-def _interpret(monkeypatch):
+def _interpret(kernels):
     # interpret-mode Pallas on CPU, scoped to this module only
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    kernels(interpret=True)
 
 
 @pytest.fixture()

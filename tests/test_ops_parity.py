@@ -204,10 +204,10 @@ def test_mlp_matches(rng):
     allclose(mlp_op(jnp.asarray(x), params, gelu_exact), out_t, atol=1e-5)
 
 
-def test_fused_attention_kernel_interpret_mode(rng, monkeypatch):
+def test_fused_attention_kernel_interpret_mode(rng, kernels):
     """Fused qkv+rope+attention kernel logic vs the pure-JAX reference
     composition, via the Pallas interpreter (no TPU needed)."""
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    kernels(interpret=True)
     from vtp_tpu.ops.flash_attention import (
         _fused_kernel_call,
         _fused_reference_impl,
@@ -236,10 +236,10 @@ def test_fused_attention_kernel_interpret_mode(rng, monkeypatch):
     )
 
 
-def test_fused_attention_gradients(rng, monkeypatch):
+def test_fused_attention_gradients(rng, kernels):
     """custom_vjp backward (pure-JAX recompute) is finite and matches
     grads of the reference composition."""
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    kernels(interpret=True)
     from vtp_tpu.ops.flash_attention import (
         _fused_reference_impl,
         fused_qkv_rope_attention,
@@ -262,10 +262,10 @@ def test_fused_attention_gradients(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=5e-2, rtol=5e-2)
 
 
-def test_fused_attention_backward_kernel(rng, monkeypatch):
+def test_fused_attention_backward_kernel(rng, kernels):
     """Dedicated Pallas backward kernel vs the einsum-composition VJP
     oracle (interpret mode), with rope, key masking, and plain."""
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    kernels(interpret=True)
     from vtp_tpu.ops.flash_attention import (
         _fused_bwd_kernel_call,
         _fused_reference_impl,
@@ -292,11 +292,11 @@ def test_fused_attention_backward_kernel(rng, monkeypatch):
         )
 
 
-def test_fused_attention_backward_kernel_qk_norm(rng, monkeypatch):
+def test_fused_attention_backward_kernel_qk_norm(rng, kernels):
     """qk-norm arm of the dedicated backward kernel (the DiT training
     path): d(qkv) AND the q/k scale grads vs the einsum-composition VJP
     oracle, with and without rope."""
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    kernels(interpret=True)
     from vtp_tpu.ops.flash_attention import (
         _fused_bwd_kernel_call,
         _fused_reference_impl,
@@ -336,11 +336,11 @@ def test_fused_attention_backward_kernel_qk_norm(rng, monkeypatch):
             err_msg=f"dwk use_rope={use_rope}")
 
 
-def test_fused_attention_qk_norm_vjp_dispatch(rng, monkeypatch):
+def test_fused_attention_qk_norm_vjp_dispatch(rng, kernels):
     """fused_qkv_rope_attention's custom_vjp routes bf16 qk-norm
     configs through the backward kernel: finite grads for qkv and both
     scales, zero rope-table cotangents."""
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    kernels(interpret=True)
     from vtp_tpu.ops.flash_attention import fused_qkv_rope_attention
 
     B, N, H, d = 1, 8, 2, 32
@@ -364,11 +364,11 @@ def test_fused_attention_qk_norm_vjp_dispatch(rng, monkeypatch):
     assert float(jnp.abs(gc).max()) == 0.0
 
 
-def test_fused_attention_backward_dispatch(rng, monkeypatch):
+def test_fused_attention_backward_dispatch(rng, kernels):
     """fused_qkv_rope_attention's custom_vjp routes bf16 no-qk-norm
     configs through the backward kernel and returns zero rope-table
     cotangents (periods are a non-trained buffer in the reference)."""
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    kernels(interpret=True)
     from vtp_tpu.ops.flash_attention import fused_qkv_rope_attention
 
     B, N, H, d = 1, 8, 2, 32
@@ -385,10 +385,10 @@ def test_fused_attention_backward_dispatch(rng, monkeypatch):
     assert float(jnp.abs(gc).max()) == 0.0
 
 
-def test_fused_attention_causal(rng, monkeypatch):
+def test_fused_attention_causal(rng, kernels):
     """In-kernel causal masking (text tower path) vs the reference
     composition, forward and backward."""
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    kernels(interpret=True)
     from vtp_tpu.ops.flash_attention import (
         _fused_bwd_kernel_call,
         _fused_kernel_call,
@@ -418,10 +418,10 @@ def test_fused_attention_causal(rng, monkeypatch):
     )
 
 
-def test_fused_attention_fp32_precision_modes(rng, monkeypatch):
+def test_fused_attention_fp32_precision_modes(rng, kernels):
     """fp32 kernel: 'high' (manual 3-pass bf16x3 split) must track the
     exact 6-pass 'float32' mode to within the bf16x3 error bound."""
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
+    kernels(interpret=True)
     from vtp_tpu.ops.flash_attention import _fused_kernel_call, _fused_reference_impl
 
     B, N, H, d = 2, 16, 2, 32
@@ -434,14 +434,13 @@ def test_fused_attention_fp32_precision_modes(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(got3), np.asarray(got6), atol=1e-4)
 
 
-def test_fused_attention_fallback_zero_rope_cotangents(rng, monkeypatch):
+def test_fused_attention_fallback_zero_rope_cotangents(rng, kernels):
     """The recompute-VJP fallback (fp32 configs, VMEM-gated qk-norm
     shapes, VTP_DISABLE_BWD_KERNEL) must ALSO return zero rope-table
     cotangents — training semantics must not depend on which arm the
     dispatch picked (the periods are a non-trained buffer in the
     reference, embeddings.py:124-128)."""
-    monkeypatch.setenv("VTP_PALLAS_INTERPRET", "1")
-    monkeypatch.setenv("VTP_DISABLE_BWD_KERNEL", "1")
+    kernels(interpret=True, disable_bwd_kernel=True)
     from vtp_tpu.ops.flash_attention import fused_qkv_rope_attention
 
     B, N, H, d = 1, 8, 2, 32

@@ -3,8 +3,6 @@ output-invariant: padded rows are masked as attention keys and sliced
 off after the block stack, so features match the unpadded forward
 exactly (the per-row math never mixes rows outside attention)."""
 
-import os
-
 import numpy as np
 import pytest
 
@@ -13,6 +11,7 @@ import jax.numpy as jnp
 
 from vtp_tpu.models.vit import ViTConfig, init_vit_params, vit_forward_features
 from vtp_tpu.models.vit import vit_get_intermediate_layers
+from vtp_tpu.ops.dispatch import kernel_overrides
 
 
 CFG = ViTConfig(embed_dim=32, depth=2, num_heads=2, patch_size=8,
@@ -27,17 +26,9 @@ def setup():
 
 
 def _forward(params, img, force_pad):
-    env = dict(os.environ)
-    try:
-        if force_pad:
-            os.environ["VTP_FORCE_TOKEN_PAD"] = "1"
-            os.environ.pop("VTP_DISABLE_TOKEN_PAD", None)
-        else:
-            os.environ["VTP_DISABLE_TOKEN_PAD"] = "1"
+    with kernel_overrides(force_token_pad=force_pad,
+                          disable_token_pad=not force_pad):
         return vit_forward_features(params, CFG, img)
-    finally:
-        os.environ.clear()
-        os.environ.update(env)
 
 
 def test_padding_invariant_forward(setup):
@@ -54,16 +45,10 @@ def test_padding_invariant_forward(setup):
 
 def test_padding_invariant_intermediates(setup):
     params, img = setup
-    env = dict(os.environ)
-    try:
-        os.environ["VTP_DISABLE_TOKEN_PAD"] = "1"
+    with kernel_overrides(disable_token_pad=True):
         a = vit_get_intermediate_layers(params, CFG, img, n=2, return_class_token=True)
-        os.environ.pop("VTP_DISABLE_TOKEN_PAD")
-        os.environ["VTP_FORCE_TOKEN_PAD"] = "1"
+    with kernel_overrides(force_token_pad=True):
         b = vit_get_intermediate_layers(params, CFG, img, n=2, return_class_token=True)
-    finally:
-        os.environ.clear()
-        os.environ.update(env)
     for (pa, ca), (pb, cb) in zip(a, b):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-6)
         np.testing.assert_allclose(np.asarray(ca), np.asarray(cb), atol=1e-6)

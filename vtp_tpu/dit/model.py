@@ -164,10 +164,10 @@ def _dit_block(x: jax.Array, cond: jax.Array, p: dict, cfg: DiTConfig,
     h = _modulate(h, sh1, sc1)
     qkv = linear(h, p["attn"]["qkv"], compute_dtype)
 
-    import os
+    from vtp_tpu.ops.dispatch import kernel_dispatch
 
     use_fused = False
-    if jax.default_backend() == "tpu" and not os.environ.get("VTP_DISABLE_FLASH"):
+    if jax.default_backend() == "tpu" and not kernel_dispatch().disable_flash:
         from vtp_tpu.ops.flash_attention import (
             fused_attention_supported,
             fused_qkv_rope_attention,

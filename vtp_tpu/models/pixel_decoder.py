@@ -95,20 +95,22 @@ def pixel_decoder_forward(
     compute_dtype: Optional[jnp.dtype] = None,
     remat: Union[bool, str] = False,
     unroll: bool = False,
+    precision: str = "float32",
 ) -> jax.Array:
     """(B, C_in, H', W') latents -> (B, 3, H'*u, W'*u) images
     (pixel_decoder.py:134-162). Runs fp32 by default, matching the
     reference's decode-under-fp32 eval protocol; in that mode matmuls
-    are pinned to float32 precision (TPU's DEFAULT would silently
-    truncate fp32 operands to bf16 on the MXU and drift rFID).
+    are pinned to ``precision`` (TPU's DEFAULT would silently truncate
+    fp32 operands to bf16 on the MXU and drift rFID).
 
-    ``VTP_DECODE_PRECISION=high`` selects 3-pass (tf32-class) fp32
-    matmuls (~1.6x faster decode); validate rFID impact before using it
-    for reported numbers."""
+    ``precision="high"`` selects 3-pass (tf32-class) fp32 matmuls
+    (~1.6x faster decode; measured output error 38x below the
+    protocol's own bf16-latent noise floor — PERF.md); "float32" is the
+    reference-exact 6-pass mode. An explicit argument — not an env var —
+    so the mode is part of every trace (round-4 verdict: trace-time env
+    reads were a jit-cache hazard). Ignored when ``compute_dtype`` is
+    set (bf16 serving path uses DEFAULT-precision MXU dots)."""
     if compute_dtype is None:
-        import os
-
-        precision = os.environ.get("VTP_DECODE_PRECISION", "float32")
         with jax.default_matmul_precision(precision):
             return _pixel_decoder_forward(params, cfg, latents, None, remat, unroll)
     return _pixel_decoder_forward(params, cfg, latents, compute_dtype, remat, unroll)

@@ -162,11 +162,12 @@ def token_pad_len(n: int, compute_dtype: Optional[jnp.dtype]) -> int:
     and their outputs are sliced off after the block stack, so results
     are unchanged. fp32 tiles are (8, 128); bf16 packs 2 rows per
     sublane, so the row multiple is 16."""
-    import os
+    from vtp_tpu.ops.dispatch import kernel_dispatch
 
-    if os.environ.get("VTP_DISABLE_TOKEN_PAD"):
+    d = kernel_dispatch()
+    if d.disable_token_pad:
         return n
-    if jax.default_backend() != "tpu" and not os.environ.get("VTP_FORCE_TOKEN_PAD"):
+    if jax.default_backend() != "tpu" and not d.force_token_pad:
         return n
     m = 16 if compute_dtype == jnp.bfloat16 else 8
     return ((n + m - 1) // m) * m

@@ -246,13 +246,17 @@ def get_reconstruction_latents(
 def get_latents_decoded_images(
     params: dict, cfg: VTPConfig, latents: jax.Array,
     compute_dtype: Optional[jnp.dtype] = None,
+    precision: str = "float32",
 ) -> jax.Array:
     """Latents -> RGB, fp32 by default per the eval protocol
-    (modeling_vtp.py:362-377; tools/test_reconstruction_hf.py:369)."""
+    (modeling_vtp.py:362-377; tools/test_reconstruction_hf.py:369).
+    ``precision`` pins the fp32 matmul mode ("float32" = reference-exact
+    6-pass, "high" = validated 3-pass — see pixel_decoder_forward);
+    ignored when ``compute_dtype`` is set."""
     latents = latents.astype(jnp.float32) if compute_dtype is None else latents
     return pixel_decoder_forward(
         params["pixel_decoder"], decoder_config_from(cfg), latents,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, precision=precision,
     )
 
 
@@ -266,11 +270,13 @@ class VTPModel:
 
     def __init__(self, config: VTPConfig, params: dict,
                  encode_dtype: Optional[jnp.dtype] = jnp.bfloat16,
-                 decode_dtype: Optional[jnp.dtype] = None):
+                 decode_dtype: Optional[jnp.dtype] = None,
+                 decode_precision: str = "float32"):
         self.config = config
         self.params = params
         self.encode_dtype = encode_dtype
         self.decode_dtype = decode_dtype
+        self.decode_precision = decode_precision
         self._jitted: dict = {}
 
     # -- construction ------------------------------------------------
@@ -326,7 +332,8 @@ class VTPModel:
             # silently masquerade as the protocol decode path (None and
             # explicit float32 alike); force the serving dtype
             decode_dtype = jnp.bfloat16
-        return VTPModel(self.config, params, self.encode_dtype, decode_dtype)
+        return VTPModel(self.config, params, self.encode_dtype, decode_dtype,
+                        self.decode_precision)
 
     # -- reference API (modeling_vtp.py:184-472) ----------------------
 
@@ -367,8 +374,11 @@ class VTPModel:
         return fn(self.params, image)
 
     def get_latents_decoded_images(self, latents):
-        fn = self._fn("decode", lambda params, latents, cfg: get_latents_decoded_images(
-            params, cfg, latents, self.decode_dtype))
+        fn = self._fn(
+            "decode",
+            lambda params, latents, cfg, precision: get_latents_decoded_images(
+                params, cfg, latents, self.decode_dtype, precision),
+            precision=self.decode_precision)
         return fn(self.params, latents)
 
     def forward(self, image=None, text=None, forward_type: str = "clip"):

@@ -34,6 +34,8 @@ import math
 import jax
 import jax.numpy as jnp
 
+from vtp_tpu.ops.dispatch import kernel_dispatch
+
 _LANE = 128
 _MAX_SEQ_FULL = 2048  # beyond this, fall back to XLA attention for now
 
@@ -44,15 +46,16 @@ def _round_up(x: int, m: int) -> int:
 
 def pallas_enabled() -> bool:
     """Whether kernel dispatch sites should consider the Pallas path:
-    on the TPU backend, or anywhere under ``VTP_PALLAS_INTERPRET=1``
-    (interpret mode — used by the CPU-mesh kernel×sharding tests and
-    the driver dryrun's kernel leg). ``VTP_DISABLE_FLASH=1`` force-picks
-    the XLA fallback (the parity oracle)."""
-    import os
-
-    if os.environ.get("VTP_DISABLE_FLASH"):
+    on the TPU backend, or anywhere under interpret mode (used by the
+    CPU-mesh kernel×sharding tests and the driver dryrun's kernel leg).
+    ``disable_flash`` force-picks the XLA fallback (the parity oracle).
+    Both come from :mod:`vtp_tpu.ops.dispatch` — env at process start,
+    :func:`~vtp_tpu.ops.dispatch.configure_kernels` at runtime (which
+    clears jit caches, so this trace-time read is never stale)."""
+    d = kernel_dispatch()
+    if d.disable_flash:
         return False
-    if os.environ.get("VTP_PALLAS_INTERPRET"):
+    if d.interpret:
         return True
     return jax.default_backend() == "tpu"
 
@@ -264,12 +267,10 @@ def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False,
         return fwd_only(qkv, sin, cos, q_scale, k_scale), (qkv, sin, cos, q_scale, k_scale)
 
     def bwd(res, g):
-        import os
-
         qkv, sin, cos, q_scale, k_scale = res
         zt = (lambda t: None if t is None else jnp.zeros_like(t))
         use_kernel = (qkv.dtype == jnp.bfloat16
-                      and not os.environ.get("VTP_DISABLE_BWD_KERNEL"))
+                      and not kernel_dispatch().disable_bwd_kernel)
         if use_kernel and q_scale is None:
             # dedicated Pallas backward kernel (no recompute round-trip
             # through XLA's qkv-split/relayout dataflow). sin/cos get
@@ -529,7 +530,7 @@ def _fused_kernel_call(
             # accounting can exceed the default — same as the backward)
             compiler_params=(pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024) if use_qk_norm else None),
-            interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+            interpret=kernel_dispatch().interpret,
         )(*arrays)
 
     batched = [True] + [False] * (len(inputs) - 1)  # qkv only
@@ -814,7 +815,7 @@ def _fused_bwd_kernel_call(
                 transcendentals=Bl * H * N * N,
             ),
             compiler_params=compiler_params,
-            interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+            interpret=kernel_dispatch().interpret,
         )(*arrays)
 
     batched = [True, True] + [False] * (len(inputs) - 2)  # qkv, g
@@ -900,7 +901,7 @@ def flash_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
                 bytes_accessed=4 * Bl * H * N * d * qf.dtype.itemsize,
                 transcendentals=Bl * H * N * N,
             ),
-            interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+            interpret=kernel_dispatch().interpret,
         )(qf, kf, vf)
 
     out = _dispatch_sharded(_impl, (q, k, v), [True, True, True], out_ranks=[3])
@@ -952,7 +953,7 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, is_causal: bool
                 bytes_accessed=4 * (Bl * H) * n_pad * d * qb.dtype.itemsize,
                 transcendentals=(Bl * H) * n_pad * n_pad,
             ),
-            interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+            interpret=kernel_dispatch().interpret,
         )(qf, kf, vf)
         return out.reshape(Bl, H, n_pad, d)
 

@@ -32,6 +32,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from vtp_tpu.ops.dispatch import kernel_dispatch
+
 BLOCK_R = 256
 BLOCK_C = 2048
 
@@ -54,9 +56,10 @@ def _mesh_row_shards(mesh) -> int:
 
 
 def fused_ce_supported(t: jax.Array, s: jax.Array) -> bool:
-    if os.environ.get("VTP_DISABLE_FUSED_CE"):
+    d = kernel_dispatch()
+    if d.disable_fused_ce:
         return False
-    if jax.default_backend() != "tpu" and not os.environ.get("VTP_PALLAS_INTERPRET"):
+    if jax.default_backend() != "tpu" and not d.interpret:
         return False
     if t.ndim != 2 or t.shape != s.shape:
         return False
@@ -175,7 +178,7 @@ def _run_fwd(t, s, center, t_temp: float, s_temp: float, save_stats: bool):
         out_specs=[row_spec] * 5,
         out_shape=[row_shape] * 5,
         scratch_shapes=scratch,
-        interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+        interpret=kernel_dispatch().interpret,
     )(t, s, center.reshape(1, C))
     if save_stats:
         return ce[:, 0], (mt[:, 0], zt[:, 0], ms[:, 0], ls[:, 0])
@@ -220,7 +223,7 @@ def _run_bwd(t, s, center, g, stats, t_temp: float, s_temp: float):
         ],
         out_specs=blk_spec,
         out_shape=jax.ShapeDtypeStruct((R, C), s.dtype),
-        interpret=bool(os.environ.get("VTP_PALLAS_INTERPRET")),
+        interpret=kernel_dispatch().interpret,
     )(t, s, center.reshape(1, C), g.reshape(R, 1),
       mt.reshape(R, 1), zt.reshape(R, 1), ms.reshape(R, 1), ls.reshape(R, 1))
     return ds
