@@ -55,10 +55,10 @@ def _batch(b=8):
     }
 
 
-def test_train_step_under_cp_mesh(monkeypatch):
+def test_train_step_under_cp_mesh(kernels):
     # pad N=5 -> 8 so the token dim divides the seq axis; the ring's
     # n_valid mask covers the padded key columns
-    monkeypatch.setenv("VTP_FORCE_TOKEN_PAD", "1")
+    kernels(force_token_pad=True)
     batch = _batch()
     step = build_train_step(TINY, TTINY)
 

@@ -153,12 +153,12 @@ def test_ring_supported_gates():
     assert ring_supported(q3, make_cp_mesh(4, 2)) is False
 
 
-def test_vit_encode_under_cp_mesh(monkeypatch):
+def test_vit_encode_under_cp_mesh(kernels):
     """Whole-encoder context parallelism through the public API: a ViT
     forward under `jax.set_mesh(make_cp_mesh(8))` must equal the
     single-device forward, with the token dim (incl. alignment padding
     => n_valid ring masking) sharded over `seq`."""
-    monkeypatch.setenv("VTP_FORCE_TOKEN_PAD", "1")  # N=17 -> 24, n_valid=17
+    kernels(force_token_pad=True)  # N=17 -> 24, n_valid=17
     from vtp_tpu.models.vit import ViTConfig, init_vit_params, vit_forward_features
     from vtp_tpu.parallel.mesh import make_cp_mesh
 
@@ -258,20 +258,24 @@ def test_sdpa_dispatches_to_ulysses_when_heads_divide():
     )
 
 
-def test_cp_mode_env_forces_ring(monkeypatch):
+def test_cp_mode_forces_ring():
+    """make_cp_mesh(mode="ring") forces the ring arm on a Ulysses-eligible
+    layout. Flipping the mode for an already-registered mesh signature
+    clears the jit caches (parallel/mesh.make_cp_mesh), so jitting
+    sdpa_bnhd ITSELF — the exact function+shapes the Ulysses test above
+    compiled — must re-trace onto the ring, not reuse the stale entry."""
     from vtp_tpu.parallel.mesh import make_cp_mesh
 
-    monkeypatch.setenv("VTP_CP_MODE", "ring")
-    mesh = make_cp_mesh(8)
     q, k, v = _qkv(h=8)  # ulysses-eligible, but forced to the ring
     want = sdpa_bnhd(q, k, v)
-    with jax.set_mesh(mesh):
-        # fresh lambda: VTP_CP_MODE is read at trace time and is not part
-        # of the jit cache key — jitting sdpa_bnhd itself would reuse the
-        # Ulysses test's compiled entry for these shapes
-        fn = jax.jit(lambda q, k, v: sdpa_bnhd(q, k, v))
-        hlo = fn.lower(q, k, v).compile().as_text()
-        got = fn(q, k, v)
+    mesh = make_cp_mesh(8, mode="ring")
+    try:
+        with jax.set_mesh(mesh):
+            fn = jax.jit(sdpa_bnhd)
+            hlo = fn.lower(q, k, v).compile().as_text()
+            got = fn(q, k, v)
+    finally:
+        make_cp_mesh(8, mode="auto")  # restore for other tests
     assert "collective-permute" in hlo
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5

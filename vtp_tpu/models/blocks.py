@@ -263,13 +263,14 @@ def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array,
     and attention rides a CP arm (ops/ring_attention.py): Ulysses
     all-to-all head re-sharding when heads divide the axis (2
     collectives, full-N scores over H/S local heads), else the ppermute
-    KV ring ((N/S, N/S) score blocks, unbounded N). ``VTP_CP_MODE`` in
-    {auto, ring, ulysses} overrides the preference (read at trace time —
-    set it before the first call of a given shape)."""
+    KV ring ((N/S, N/S) score blocks, unbounded N). The arm preference
+    comes from ``make_cp_mesh(mode=...)`` (registered per mesh
+    signature; flipping it clears the jit caches, so this trace-time
+    read is never stale — parallel/mesh.cp_mode_for)."""
 
     from vtp_tpu.ops.flash_attention import pallas_enabled
 
-    from vtp_tpu.parallel.mesh import active_mesh
+    from vtp_tpu.parallel.mesh import active_mesh, cp_mode_for
     mesh = active_mesh()
     if mesh is not None:
         from vtp_tpu.ops.ring_attention import (
@@ -279,7 +280,7 @@ def sdpa_bnhd(q: jax.Array, k: jax.Array, v: jax.Array,
             ulysses_supported,
         )
 
-        mode = os.environ.get("VTP_CP_MODE", "auto")
+        mode = cp_mode_for(mesh)
         if (mode in ("auto", "ulysses")
                 and ulysses_supported(q, mesh, n_valid)):
             return ulysses_attention_bnhd(q, k, v, n_valid=n_valid, mesh=mesh)

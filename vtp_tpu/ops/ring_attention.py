@@ -7,8 +7,12 @@ one GPU holds) the (N, N) score matrix and the KV stream outgrow one
 chip. Ring attention (Liu et al. 2023, arXiv:2310.01889) shards Q/K/V
 over a ``seq`` mesh axis and rotates the K/V shards around the ring
 with ``jax.lax.ppermute`` while accumulating the softmax online —
-each chip ever holds 1/S of the tokens and an (N/S, N/S) score block,
-and the rotation overlaps with compute on ICI.
+the FORWARD ever holds 1/S of the tokens per chip: Q resident, one
+rotating (N/S) KV block, an (N/S, N/S) score block, with the rotation
+overlapping compute on ICI. Under ``jax.grad`` the ``lax.scan`` carries
+``k_blk``/``v_blk``, so the backward saves all S rotated KV shards —
+full K/V per chip (still only (N/S, N/S) scores); wrap the model in a
+remat policy if the saved KV stream is the memory wall at your N.
 
 Pure-JAX online-softmax accumulation (the flash-attention recurrence),
 so it is differentiable end-to-end and XLA fuses the rescale chain;
@@ -27,6 +31,7 @@ the token-alignment key-padding mask of ``sdpa_bnhd``.
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 from typing import Optional
 
@@ -111,10 +116,10 @@ def ring_supported(q: jax.Array, mesh, n_valid: int = 0) -> bool:
     n_data = mesh_axis_size(mesh, DATA_AXIS)
     if n_data > 1 and q.shape[0] % n_data:
         return False
-    if n_valid:
-        # every query shard must see >= 1 valid key column overall
-        if n_valid <= 0:
-            return False
+    if n_valid < 0 or n_valid > q.shape[1]:
+        # n_valid is a count of valid GLOBAL key columns; anything
+        # outside [0, N] is a caller bug — refuse rather than mask wrong
+        return False
     return True
 
 
@@ -245,13 +250,20 @@ def ring_attention(
     n_dev = dict(mesh.shape)[axis]
     if q.shape[1] % n_dev:
         raise ValueError(f"N={q.shape[1]} must divide by {n_dev} ({axis})")
+    return _jitted_ring(mesh, axis, scale, n_valid)(q, k, v)
 
+
+@functools.lru_cache(maxsize=64)
+def _jitted_ring(mesh: Mesh, axis: str, scale: float, n_valid: int):
+    """Cached jit(shard_map) wrapper for the eager convenience entry —
+    without this every :func:`ring_attention` call built a fresh closure
+    and re-traced/re-compiled (round-4 advisor). Keyed on the static
+    config; jit handles per-shape retracing inside one entry."""
     body = partial(
         _ring_attention_local, axis=axis, scale=scale, n_valid=n_valid
     )
     spec = P(None, axis, None, None)
-    sharded = jax.shard_map(
+    return jax.jit(jax.shard_map(
         body, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
         check_vma=False,
-    )
-    return jax.jit(sharded)(q, k, v)
+    ))
