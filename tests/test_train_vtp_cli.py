@@ -134,12 +134,12 @@ def _tiny_config_json(tmp_path) -> str:
     return str(p)
 
 
-def test_train_vtp_cli_context_parallel(image_dir, tmp_path, monkeypatch):
+def test_train_vtp_cli_context_parallel(image_dir, tmp_path, kernels):
     """--context_parallel N builds a (data, seq) mesh and the step's
     attention rides the ring: one tiny step must run and checkpoint.
-    VTP_FORCE_TOKEN_PAD pads N=5 -> 8 so the token dim divides seq=4
+    force_token_pad pads N=5 -> 8 so the token dim divides seq=4
     (on TPU the alignment padding is automatic)."""
-    monkeypatch.setenv("VTP_FORCE_TOKEN_PAD", "1")
+    kernels(force_token_pad=True)
     import train_vtp
 
     out = str(tmp_path / "ckpt_cp")

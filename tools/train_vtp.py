@@ -91,6 +91,17 @@ def parse_args(argv=None):
                         "this size (ring/Ulysses context parallelism, "
                         "ops/ring_attention.py); composes with the data "
                         "axis, incompatible with a model axis > 1")
+    p.add_argument("--cp_mode", default="auto",
+                   choices=["auto", "ring", "ulysses"],
+                   help="context-parallel arm preference (auto = Ulysses "
+                        "all-to-all when heads divide the seq axis, else "
+                        "the ppermute KV ring)")
+    p.add_argument("--pipeline_parallel", type=int, default=1,
+                   help="stage-shard the transformer depth over a pipe axis "
+                        "of this size (GPipe ppermute schedule, "
+                        "parallel/pipeline.py); composes with the data axis; "
+                        "tower depths and the microbatch must divide cleanly "
+                        "or that tower falls back to the sequential scan")
     p.add_argument("--out", default="./vtp_ckpt")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--ckpt_every", type=int, default=2000)
@@ -248,16 +259,37 @@ def main(argv=None) -> None:
     objectives = set(args.objectives.split(","))
     n_devices = jax.device_count()
     n_seq = args.context_parallel
+    n_pipe = args.pipeline_parallel
     if args.mesh:
         n_data, n_model = (int(x) for x in args.mesh.split(","))
     else:
-        n_data, n_model = n_devices // max(n_seq, 1), 1
+        n_data, n_model = n_devices // max(n_seq, 1) // max(n_pipe, 1), 1
     if n_seq > 1 and n_model > 1:
         raise SystemExit("--context_parallel needs model axis 1 "
                          "(the seq axis shards tokens; TP shards heads)")
     if n_seq > 1 and n_data * n_seq != n_devices:
         raise SystemExit(f"--context_parallel {n_seq} x data {n_data} != "
                          f"{n_devices} devices")
+    if n_pipe > 1:
+        if n_model > 1 or n_seq > 1:
+            raise SystemExit("--pipeline_parallel composes with the data "
+                             "axis only (one of pipe/seq/model per mesh)")
+        if n_data * n_pipe != n_devices:
+            raise SystemExit(f"--pipeline_parallel {n_pipe} x data {n_data} "
+                             f"!= {n_devices} devices")
+        for tower, depth in (("vision", cfg.vision_depth),
+                             ("text", cfg.text_depth),
+                             ("decoder", cfg.decoder_depth)):
+            if depth % n_pipe:
+                print(f"[train_vtp] note: {tower} depth {depth} % pipe "
+                      f"{n_pipe} != 0 — that tower runs the sequential "
+                      f"scan (data-parallel only)", flush=True)
+    if args.sequence_parallel and n_model <= 1:
+        # without a model axis constrain_residual falls back to the
+        # data-only layout — SP would silently no-op (round-4 advisor)
+        raise SystemExit("--sequence_parallel needs a model axis > 1 "
+                         "(--mesh DATA,MODEL); it would silently no-op "
+                         "on this mesh")
     if args.batch_size % max(args.accum_steps * n_data, 1):
         raise SystemExit(f"global batch {args.batch_size} must divide by "
                          f"accum_steps x data axis "
@@ -282,6 +314,7 @@ def main(argv=None) -> None:
         accum_steps=args.accum_steps,
         moment_dtype=args.moment_dtype,
         sequence_parallel=args.sequence_parallel,
+        pipeline_stages=n_pipe,
     )
 
     state = init_state(jax.random.key(args.seed), cfg, tcfg)
@@ -294,7 +327,11 @@ def main(argv=None) -> None:
     if n_seq > 1:
         from vtp_tpu.parallel.mesh import make_cp_mesh
 
-        mesh = make_cp_mesh(n_seq, n_data)
+        mesh = make_cp_mesh(n_seq, n_data, mode=args.cp_mode)
+    elif n_pipe > 1:
+        from vtp_tpu.parallel.pipeline import make_pp_mesh
+
+        mesh = make_pp_mesh(n_pipe, n_data)
     else:
         mesh = make_mesh(n_data, n_model) if n_devices > 1 else None
     if mesh is not None:

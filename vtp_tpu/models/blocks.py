@@ -552,6 +552,27 @@ def scan_blocks(
     VTP-B/L depths; see PERF.md round 3 for the Pareto).
     """
     use_drop = training and drop_ratio > 0.0 and key is not None
+
+    if not use_drop and collect_last <= 0:
+        # pipeline-parallel arm: under an ambient mesh with a `pipe`
+        # axis (parallel/pipeline.make_pp_mesh + jax.set_mesh) the depth
+        # loop stage-shards over it with the GPipe ppermute schedule —
+        # same ambient-mesh contract as the CP dispatch in sdpa_bnhd.
+        # Returns None (-> sequential fallback) when the layout is
+        # unsupported (depth or batch indivisible, drop-path on).
+        from vtp_tpu.parallel.mesh import PIPE_AXIS, active_mesh, mesh_axis_size
+
+        _mesh = active_mesh()
+        if mesh_axis_size(_mesh, PIPE_AXIS) > 1:
+            from vtp_tpu.parallel.pipeline import maybe_pipeline_blocks
+
+            out = maybe_pipeline_blocks(
+                xs, stacked, cfg, ropes, depth=depth,
+                compute_dtype=compute_dtype, n_valids=n_valids, remat=remat,
+            )
+            if out is not None:
+                return out, None
+
     layer_keys = (
         jax.random.split(key, depth) if use_drop
         else jnp.zeros((depth, 2), jnp.uint32)

@@ -24,22 +24,28 @@ Memory: each stage stores the scan carries for its own layers only, so
 peak activation memory scales 1/n_stages (plus the microbatch buffer);
 combine with ``remat`` for the classic 1F1B-memory-like tradeoff.
 
-Use ``pipeline_blocks`` for the packed-token transformer stack (the
-``block_apply_flat`` body from models/blocks.py) or the generic
-``pipeline_apply`` for any per-layer body.
+Training integration (round 5): under an ambient ``(data, pipe)`` mesh
+(``make_pp_mesh`` + ``jax.set_mesh``) ``models/blocks.scan_blocks``
+dispatches its no-drop-path depth loop here automatically
+(:func:`maybe_pipeline_blocks`), so the full train step —
+``TrainConfig.pipeline_stages`` / ``tools/train_vtp.py
+--pipeline_parallel`` — pipelines every tower whose depth divides the
+stage count; unsupported stacks fall back to the sequential scan on the
+same mesh. The batch ("data") axis co-shards the microbatch rows inside
+the same shard_map, so PP composes with DP.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-PIPE_AXIS = "pipe"
+from vtp_tpu.parallel.mesh import DATA_AXIS, PIPE_AXIS, mesh_axis_size
 
 
 def make_pipeline_mesh(n_stages: Optional[int] = None, *, devices=None) -> Mesh:
@@ -50,6 +56,29 @@ def make_pipeline_mesh(n_stages: Optional[int] = None, *, devices=None) -> Mesh:
     if n_stages > len(devices):
         raise ValueError(f"need {n_stages} devices, have {len(devices)}")
     return Mesh(np.asarray(devices[:n_stages]), (PIPE_AXIS,))
+
+
+def make_pp_mesh(n_pipe: int, n_data: int = 1, *, devices=None) -> Mesh:
+    """A ``(data, pipe)`` mesh: batch over ``data``, transformer depth
+    over ``pipe``. Under ``jax.set_mesh`` of such a mesh the block
+    stacks pipeline automatically (models/blocks.scan_blocks →
+    :func:`maybe_pipeline_blocks`)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data * n_pipe != len(devices):
+        raise ValueError(f"mesh {n_data}x{n_pipe} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(n_data, n_pipe)
+    return Mesh(arr, (DATA_AXIS, PIPE_AXIS))
+
+
+def _remat_layer(body: Callable, remat: Union[bool, str]) -> Callable:
+    """Apply a models/blocks.remat_wrap checkpoint policy to a
+    ``body(params_i, x) -> x`` per-layer function."""
+    if remat is False or remat is None:
+        return body
+    from vtp_tpu.models.blocks import remat_wrap
+
+    wrapped = remat_wrap(lambda c, p: (body(p, c), None), remat)
+    return lambda p, x: wrapped(x, p)[0]
 
 
 def _stage_apply(body: Callable, local_params: Any, x: jax.Array) -> jax.Array:
@@ -63,38 +92,49 @@ def _stage_apply(body: Callable, local_params: Any, x: jax.Array) -> jax.Array:
 
 
 def pipeline_apply(
-    body: Callable[[Any, jax.Array], jax.Array],
+    body: Callable,
     stacked: Any,
     x_micro: jax.Array,
     *,
     mesh: Mesh,
     axis: str = PIPE_AXIS,
-    remat: bool = False,
+    data_axis: Optional[str] = None,
+    remat: Union[bool, str] = False,
+    extras: tuple = (),
 ) -> jax.Array:
     """Run ``depth`` stacked layers as an ``n_stages``-deep pipeline.
 
     Args:
-      body: single-layer apply, ``body(params_i, x) -> x`` (same
-        contract as the ``lax.scan`` body in models/blocks.scan_blocks).
+      body: single-layer apply, ``body(params_i, x, *extras) -> x``
+        (the ``lax.scan`` body contract of models/blocks.scan_blocks).
       stacked: pytree of per-layer params with a leading ``depth`` axis;
         ``depth`` must divide by the ``axis`` size.
-      x_micro: ``(n_micro, micro_batch, ...)`` microbatched input.
+      x_micro: ``(n_micro, micro_rows, ...)`` microbatched input.
       mesh: mesh containing ``axis`` (the pipeline stages).
-      remat: checkpoint each stage's layer applications (recompute in
-        the backward instead of saving per-tick activations).
+      data_axis: optionally co-shard ``x_micro``'s second dim (the rows
+        within a microbatch) over this mesh axis inside the same
+        shard_map — the DP×PP composition. The caller must lay the rows
+        out data-shard-major (see :func:`maybe_pipeline_blocks`).
+      remat: checkpoint each layer application in the backward; accepts
+        the same policy strings as models/blocks.remat_wrap
+        (True/"full"/"dots"/"attn"/"dots_attn").
+      extras: layer-invariant traced arrays the body needs (e.g. RoPE
+        sin/cos tables). These MUST be shard_map inputs, not closure
+        captures: differentiating a shard_map whose body closes over a
+        traced value trips a context-mesh error when the zero cotangent
+        is built (NamedSharding of the Auto mesh inside the Manual
+        body); as explicit replicated inputs their cotangents flow
+        through the standard psum transpose. Pytrees with None leaves
+        are fine.
 
     Returns:
-      ``(n_micro, micro_batch, ...)`` outputs, replicated over ``axis``.
+      ``(n_micro, micro_rows, ...)`` outputs, replicated over ``axis``.
     """
     n_stages = dict(mesh.shape)[axis]
     depth = jax.tree.leaves(stacked)[0].shape[0]
     if depth % n_stages:
         raise ValueError(f"depth {depth} must divide by {n_stages} stages")
     n_micro = x_micro.shape[0]
-
-    stage_fn = partial(_stage_apply, body)
-    if remat:
-        stage_fn = jax.checkpoint(stage_fn)
 
     # reshape (depth, ...) -> (n_stages, depth/n_stages, ...) so the
     # shard_map in_spec puts stage s's contiguous layer slab on device s
@@ -104,9 +144,14 @@ def pipeline_apply(
 
     perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-    def worker(local_params, x):
-        # local_params: (1, depth/S, ...) slab; x: full (M, mB, ...) —
-        # replicated in, only stage 0 ingests it
+    def worker(local_params, x, *extras):
+        # local_params: (1, depth/S, ...) slab; x: (M, local_rows, ...) —
+        # microbatches replicated over the pipe axis (only stage 0
+        # ingests them), rows sharded over data_axis when given
+        stage_fn = partial(
+            _stage_apply,
+            _remat_layer(lambda p_i, c: body(p_i, c, *extras), remat),
+        )
         local_params = jax.tree.map(lambda a: a[0], local_params)
         s = jax.lax.axis_index(axis)
         buf = jnp.zeros_like(x[0])
@@ -141,16 +186,28 @@ def pipeline_apply(
         )
         return outs
 
+    x_spec = P(None, data_axis, *(None,) * (x_micro.ndim - 2))
+    extras_specs = jax.tree.map(lambda _: P(), extras)
     sharded = jax.shard_map(
         worker,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), x_spec, *extras_specs),
+        out_specs=x_spec,
         check_vma=False,
     )
-    # jit so the remat (closed_call) body works in eager contexts too;
-    # inlined for free when the caller is already under jit
-    return jax.jit(sharded)(per_stage, x_micro)
+    try:
+        from jax._src import core as _core
+
+        tracing = not _core.trace_state_clean()
+    except Exception:  # pragma: no cover - jax internals moved
+        tracing = True
+    if tracing:
+        # already under an enclosing jit (the training step): no inner
+        # jit needed — avoids the per-call retrace the round-4 advisor
+        # flagged on the eager convenience path
+        return sharded(per_stage, x_micro, *extras)
+    # eager: jit so the remat (closed_call) body works outside a trace
+    return jax.jit(sharded)(per_stage, x_micro, *extras)
 
 
 def pipeline_blocks(
@@ -162,28 +219,118 @@ def pipeline_blocks(
     *,
     mesh: Mesh,
     axis: str = PIPE_AXIS,
+    data_axis: Optional[str] = None,
     compute_dtype=None,
     n_valids=None,
-    remat: bool = False,
+    remat: Union[bool, str] = False,
 ) -> jax.Array:
     """Pipeline the packed-token transformer stack.
 
     ``xs_micro``: ``(n_micro, rows/n_micro, D)`` microbatched packed
-    tokens (split ``pack(xs)[0]`` rows into equal microbatches — rows
-    are batch-major so any row split that keeps crops' (b, n) blocks
-    intact is valid; with a single crop, split on the batch dim before
-    packing). Mirrors ``scan_blocks``'s no-drop path (the
-    ``block_apply_flat`` body, models/blocks.py) stage-sharded over
-    ``axis``. Returns the packed output rows in microbatch layout.
+    tokens; ``shapes`` gives the per-microbatch (and per-data-shard,
+    when ``data_axis`` is set) crop shapes the worker body sees.
+    Mirrors ``scan_blocks``'s no-drop path (the ``block_apply_flat``
+    body, models/blocks.py) stage-sharded over ``axis``. Returns the
+    packed output rows in microbatch layout.
     """
     from vtp_tpu.models.blocks import block_apply_flat
 
-    def body(p_i, flat):
+    def body(p_i, flat, ropes):
         return block_apply_flat(
             flat, p_i, cfg, ropes, shapes,
             compute_dtype=compute_dtype, n_valids=n_valids,
         )
 
+    # ropes ride shard_map as explicit replicated inputs (see
+    # pipeline_apply's `extras` note): they are traced values derived
+    # from params, and their cotangents must flow the psum transpose
     return pipeline_apply(
-        body, stacked, xs_micro, mesh=mesh, axis=axis, remat=remat
+        body, stacked, xs_micro, mesh=mesh, axis=axis, data_axis=data_axis,
+        remat=remat, extras=(list(ropes),),
     )
+
+
+# -------------------------------------------- model-level dispatch
+
+
+def pp_supported(xs, mesh, depth: int) -> bool:
+    """Whether scan_blocks' no-drop depth loop can pipeline on ``mesh``:
+    a ``pipe`` axis > 1 whose size divides ``depth``, and every crop's
+    batch divisible by (n_micro × data axis) so the microbatch/row
+    layout splits cleanly (n_micro = the pipe-axis size)."""
+    n_pipe = mesh_axis_size(mesh, PIPE_AXIS)
+    if mesh is None or n_pipe <= 1:
+        return False
+    if depth % n_pipe:
+        return False
+    n_data = mesh_axis_size(mesh, DATA_AXIS)
+    return all(x.shape[0] % (n_pipe * n_data) == 0 for x in xs)
+
+
+def maybe_pipeline_blocks(
+    xs,
+    stacked: dict,
+    cfg,
+    ropes,
+    *,
+    depth: int,
+    compute_dtype=None,
+    n_valids=None,
+    remat: Union[bool, str] = False,
+):
+    """Pipeline-parallel arm of ``models/blocks.scan_blocks``: under an
+    ambient mesh with a ``pipe`` axis, split each crop's batch into
+    n_micro = n_stages microbatches (GPipe bubble (S-1)/(M+S-1)), pack
+    the rows data-shard-major so the ``data`` axis co-shards them, run
+    the systolic ppermute schedule, and reassemble the crops in original
+    order. Returns the xs tuple, or None when the layout is unsupported
+    (caller falls back to the sequential scan).
+
+    Numerics: microbatching a no-drop block stack is exact — every
+    sample's path through the stack is independent (attention never
+    mixes batch entries), so the result matches the sequential scan
+    bit-for-bit up to XLA scheduling."""
+    from vtp_tpu.parallel.mesh import active_mesh
+
+    mesh = active_mesh()
+    if mesh is None or not pp_supported(xs, mesh, depth):
+        return None
+    n_pipe = mesh_axis_size(mesh, PIPE_AXIS)
+    n_data = mesh_axis_size(mesh, DATA_AXIS)
+    n_micro = n_pipe
+    d_model = xs[0].shape[-1]
+
+    # per-(micro, data-shard) crop pieces, rows laid out so that
+    # in_spec P(None, data, None) hands shard d exactly its rows:
+    # (M, n_data * sum_i b_loc_i * N_i, D) with the second dim d-major
+    pieces = []
+    shapes = []
+    for x in xs:
+        B, N, _ = x.shape
+        b_loc = B // (n_data * n_micro)
+        # (B, N, D) -> (n_data, M, b_loc, N, D) -> (M, n_data, b_loc*N, D)
+        p = x.reshape(n_data, n_micro, b_loc, N, d_model)
+        p = p.transpose(1, 0, 2, 3, 4).reshape(n_micro, n_data, b_loc * N, d_model)
+        pieces.append(p)
+        shapes.append((b_loc, N))
+    xm = jnp.concatenate(pieces, axis=2)  # (M, n_data, rows_md, D)
+    rows_md = xm.shape[2]
+    xm = xm.reshape(n_micro, n_data * rows_md, d_model)
+
+    out = pipeline_blocks(
+        xm, stacked, cfg, ropes, shapes,
+        mesh=mesh, data_axis=DATA_AXIS if n_data > 1 else None,
+        compute_dtype=compute_dtype, n_valids=n_valids, remat=remat,
+    )
+
+    # inverse: (M, n_data, rows_md, D) -> per-crop (B, N, D)
+    out = out.reshape(n_micro, n_data, rows_md, d_model)
+    res = []
+    off = 0
+    for x, (b_loc, N) in zip(xs, shapes):
+        seg = out[:, :, off:off + b_loc * N, :]
+        off += b_loc * N
+        seg = seg.reshape(n_micro, n_data, b_loc, N, d_model)
+        seg = seg.transpose(1, 0, 2, 3, 4).reshape(x.shape[0], N, d_model)
+        res.append(seg)
+    return tuple(res)

@@ -113,6 +113,15 @@ class TrainConfig:
     # reduce-scatter + all-gather), 1/tp the elementwise compute and
     # saved-activation memory per chip. No-op without a model axis > 1.
     sequence_parallel: bool = False
+    # GPipe pipeline parallelism (parallel/pipeline.py): stage-shard the
+    # transformer depth over a `pipe` mesh axis of this size. The value
+    # is the mesh-construction knob (tools/train_vtp.py builds a
+    # (data, pipe) mesh from it); DISPATCH rides the ambient mesh — any
+    # scan_blocks depth loop under jax.set_mesh of a pipe mesh pipelines
+    # automatically when depth/batch divide (models/blocks.scan_blocks →
+    # parallel/pipeline.maybe_pipeline_blocks), and falls back to the
+    # sequential scan per tower otherwise.
+    pipeline_stages: int = 1
     # gradient accumulation: when > 1, every batch leaf must carry a
     # leading (accum_steps,) microbatch axis (tree-stack accum_steps
     # microbatches); grads are averaged across microbatches before one
