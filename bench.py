@@ -9,15 +9,24 @@ protocol's own bf16-latent quantization noise (rel 2.9e-3), i.e. the
 decode precision contributes nothing measurable to rFID (full analysis
 in PERF.md). Set BENCH_DECODE_PRECISION=float32 for the exact mode.
 
-Prints ONE JSON line:
+Output contract (hardened in round 5 — BENCH_r04 was rc=124 with zero
+numbers after a single mid-run stall): a COMPLETE, self-contained JSON
+line is printed after EVERY leg (the driver takes the last line), every
+leg has a wall-clock budget and is skipped with an ``"error": "budget"``
+row instead of hanging the artifact, rates are computed from the MIN
+per-iteration wall (a tunnel grant-wedge inflates one iteration, not the
+number — the measurement-hygiene pattern from
+experiments/r4_vtpl_attn_accum_probe.py), and a heartbeat goes to stderr
+between iterations.
+
   {"metric": ..., "value": imgs/sec/chip, "unit": "images/sec/chip",
    "vs_baseline": fraction of the analytic speed-of-light of the
    REFERENCE-EXACT protocol on TPU v5e (197 TFLOP/s bf16; fp32 decode
    via 6-pass emulation) — the floor a faithful port would be bound by}
 
 Env knobs: BENCH_PRESET (vtp-large), BENCH_BATCH (32), BENCH_ITERS (20),
-BENCH_MODE (roundtrip|encode|decode|train), BENCH_DECODE_PRECISION
-(high|float32).
+BENCH_MODE (roundtrip|encode|decode|train|dit), BENCH_DECODE_PRECISION
+(high|float32), BENCH_LEG_BUDGET_S (420), BENCH_TOTAL_BUDGET_S (2700).
 """
 
 from __future__ import annotations
@@ -46,6 +55,41 @@ from vtp_tpu.utils import cast_matmul_params
 
 V5E_BF16_PEAK = 197e12  # FLOP/s per chip
 FP32_EMULATION_PASSES = 6  # 'float32' matmul precision = 6-pass bf16
+
+_T0 = time.monotonic()
+LEG_BUDGET_S = float(os.environ.get("BENCH_LEG_BUDGET_S", "420"))
+TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "2700"))
+
+
+def _elapsed() -> float:
+    return time.monotonic() - _T0
+
+
+def _hb(msg: str) -> None:
+    """Heartbeat: timestamped stderr line between dispatches, so a hung
+    artifact still shows WHERE it hung."""
+    print(f"[bench +{_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit(result: dict) -> None:
+    """Print the CURRENT result as one complete, self-contained JSON
+    line. Called after every leg; the driver takes the last line, so a
+    later stall costs only the legs that never ran."""
+    print(json.dumps(result), flush=True)
+
+
+def _min_wall_rate(walls, per_iter_items: float) -> dict:
+    """Rate from the min per-iteration wall (wedge-immune) plus the
+    honest spread, so the artifact itself shows whether the run was
+    clean (min ≈ median) or wedged (max >> median)."""
+    walls = sorted(walls)
+    n = len(walls)
+    med = walls[n // 2] if n % 2 else 0.5 * (walls[n // 2 - 1] + walls[n // 2])
+    return {
+        "rate": per_iter_items / walls[0],
+        "walls": {"min_s": round(walls[0], 4), "median_s": round(med, 4),
+                  "max_s": round(walls[-1], 4), "n": n},
+    }
 
 
 def tower_flops(n_tokens: int, dim: int, depth: int, ffn_hidden: int,
@@ -170,17 +214,22 @@ def train_sol_imgs_per_sec(cfg: VTPConfig, *, remat: bool, ssl: bool,
 
 def measure_train(*, preset: str, batch: int, iters: int, ssl: bool,
                   remat, unroll: bool, accum: int = 1,
-                  moment_dtype: str = "fp32") -> dict:
+                  moment_dtype: str = "fp32",
+                  leg_budget_s: float = None) -> dict:
     """Measure train-step throughput; returns a dict of numbers (shared
     by BENCH_MODE=train and the train section of the default bench).
     ``accum > 1`` drives host-side microbatch accumulation (one
     optimizer step per ``accum`` microbatches, bf16 accumulator) and
-    counts the FULL global batch per step."""
+    counts the FULL global batch per step. Per-iteration walls with a
+    host fetch per step; the reported rate uses the MIN wall and the
+    loop stops early once the leg budget is spent (>= 2 clean iters)."""
     from vtp_tpu.train.step import (
         TrainConfig, build_train_step, init_state, make_ssl_batch,
         run_host_accum_step,
     )
 
+    leg_budget_s = LEG_BUDGET_S if leg_budget_s is None else leg_budget_s
+    leg_t0 = time.monotonic()
     cfg = PRESETS[preset]()
     tcfg = TrainConfig(train_ssl=ssl, warmup_steps=0, total_steps=1000,
                        remat=remat, unroll_layers=unroll,
@@ -220,18 +269,24 @@ def measure_train(*, preset: str, batch: int, iters: int, ssl: bool,
     t0 = time.perf_counter()
     state, metrics = run(state, jax.random.key(2))
     _ = float(metrics["loss/total"])
-    print(f"[bench] train/{preset}/{name} compile+first: "
-          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
+    _hb(f"train/{preset}/{name} compile+first: {time.perf_counter() - t0:.1f}s")
+    walls = []
     for i in range(iters):
+        t0 = time.perf_counter()
         state, metrics = run(state, jax.random.key(3 + i))
-    _ = float(metrics["loss/total"])  # host fetch = sync
-    dt = (time.perf_counter() - t0) / iters
+        _ = float(metrics["loss/total"])  # host fetch = per-iter sync
+        walls.append(time.perf_counter() - t0)
+        _hb(f"train/{preset}/{name} iter {i + 1}/{iters}: {walls[-1]*1e3:.1f} ms")
+        if len(walls) >= 2 and time.monotonic() - leg_t0 > leg_budget_s:
+            _hb(f"train/{preset}/{name}: leg budget {leg_budget_s:.0f}s spent "
+                f"after {len(walls)} iters — stopping early")
+            break
     sol = train_sol_imgs_per_sec(cfg, remat=remat, ssl=ssl)
-    imgs = batch * max(accum, 1) / dt
-    print(f"[bench] train/{preset}/{name}: {dt*1e3:.1f} ms/step, "
-          f"{imgs:.1f} img/s, SoL {sol:.1f} ({imgs/sol*100:.1f}%), "
-          f"remat={remat}, accum={accum}", file=sys.stderr)
+    mw = _min_wall_rate(walls, batch * max(accum, 1))
+    imgs = mw["rate"]
+    _hb(f"train/{preset}/{name}: min {min(walls)*1e3:.1f} ms/step, "
+        f"{imgs:.1f} img/s, SoL {sol:.1f} ({imgs/sol*100:.1f}%), "
+        f"remat={remat}, accum={accum}")
     del state
     out = {
         "step": name,
@@ -239,6 +294,7 @@ def measure_train(*, preset: str, batch: int, iters: int, ssl: bool,
         "imgs_per_sec": round(imgs, 2),
         "vs_matmul_sol": round(imgs / sol, 4),
         "remat": str(remat),
+        "walls": mw["walls"],
     }
     if accum > 1:
         out["accum"] = accum
@@ -250,7 +306,7 @@ def _train_env_config(preset: str):
     """Shared BENCH_REMAT / BENCH_UNROLL parsing. Defaults are the
     fastest measured v5e config (PERF.md): no remat + unrolled depth
     loop for vtp-base; larger presets need a checkpoint policy (VTP-L
-    no-remat OOMs v5e HBM)."""
+    no-remat OOMs v5e HBM at batch 32)."""
     default_remat = "off" if preset == "vtp-base" else "attn"
     remat_env = os.environ.get("BENCH_REMAT", default_remat)
     remat = {"0": False, "off": False, "1": True, "full": True}.get(
@@ -308,7 +364,8 @@ def dit_train_sol_samples_per_sec(cfg, remat="attn") -> float:
     return V5E_BF16_PEAK / ((3.0 + frac) * fwd)
 
 
-def measure_dit(*, batch: int, iters: int, accum: int) -> dict:
+def measure_dit(*, batch: int, iters: int, accum: int,
+                leg_budget_s: float = None) -> dict:
     """Measure DiT-XL/1 train-step throughput (shared by BENCH_MODE=dit
     and the train section of the default bench). Operating point
     (round 3b, measured ladder in PERF.md): B=32 microbatches with
@@ -323,6 +380,8 @@ def measure_dit(*, batch: int, iters: int, accum: int) -> dict:
         run_accum_step,
     )
 
+    leg_budget_s = LEG_BUDGET_S if leg_budget_s is None else leg_budget_s
+    leg_t0 = time.monotonic()
     cfg = make_dit_config("DiT-XL/1")
     # fastest measured fit on v5e: remat="attn" (save attention outputs)
     # + unrolled depth loop (no-remat / dots_attn OOM the 675M model);
@@ -355,18 +414,23 @@ def measure_dit(*, batch: int, iters: int, accum: int) -> dict:
     t0 = time.perf_counter()
     state, metrics = run(state, jax.random.key(3))
     _ = float(metrics["loss/transport"])
-    print(f"[bench] train/DiT-XL compile+first: {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
-    t0 = time.perf_counter()
+    _hb(f"train/DiT-XL compile+first: {time.perf_counter() - t0:.1f}s")
+    walls = []
     for i in range(iters):
+        t0 = time.perf_counter()
         state, metrics = run(state, jax.random.key(4 + i))
-    _ = float(metrics["loss/transport"])
-    dt = (time.perf_counter() - t0) / iters
+        _ = float(metrics["loss/transport"])
+        walls.append(time.perf_counter() - t0)
+        _hb(f"train/DiT-XL iter {i + 1}/{iters}: {walls[-1]*1e3:.1f} ms")
+        if len(walls) >= 2 and time.monotonic() - leg_t0 > leg_budget_s:
+            _hb(f"train/DiT-XL: leg budget {leg_budget_s:.0f}s spent — "
+                "stopping early")
+            break
     sol = dit_train_sol_samples_per_sec(cfg, remat)
-    imgs = batch * max(accum, 1) / dt
-    print(f"[bench] train/DiT-XL: {dt*1e3:.1f} ms/step, {imgs:.1f} img/s, "
-          f"SoL {sol:.1f} ({imgs/sol*100:.1f}%), accum={accum}",
-          file=sys.stderr)
+    mw = _min_wall_rate(walls, batch * max(accum, 1))
+    imgs = mw["rate"]
+    _hb(f"train/DiT-XL: min {min(walls)*1e3:.1f} ms/step, {imgs:.1f} img/s, "
+        f"SoL {sol:.1f} ({imgs/sol*100:.1f}%), accum={accum}")
     del state
     out = {
         "step": "DiT flow transport",
@@ -374,6 +438,7 @@ def measure_dit(*, batch: int, iters: int, accum: int) -> dict:
         "imgs_per_sec": round(imgs, 2),
         "vs_matmul_sol": round(imgs / sol, 4),
         "remat": remat,
+        "walls": mw["walls"],
     }
     if accum > 1:
         out["accum"] = accum
@@ -416,8 +481,8 @@ def main() -> None:
         return bench_dit()
 
     cfg = PRESETS[preset]()
-    print(f"[bench] preset={preset} batch={batch} iters={iters} mode={mode} "
-          f"device={jax.devices()[0]}", file=sys.stderr)
+    _hb(f"preset={preset} batch={batch} iters={iters} mode={mode} "
+        f"device={jax.devices()[0]}")
 
     params = init_vtp_params(jax.random.key(0), cfg)
     # encode weights in bf16 (== autocast rounding), decoder stays fp32
@@ -442,18 +507,19 @@ def main() -> None:
             jax.random.key(1), (batch, 3, cfg.image_size, cfg.image_size), jnp.float32
         )
 
-    def measure(decode_precision: str) -> float:
+    def measure(decode_precision: str) -> dict:
         """Measure ``mode`` throughput at the given fp32-decode matmul
         precision ('high' = validated 3-pass, 'float32' = reference-exact
-        6-pass). Fresh closures per call so the env-dependent decode path
-        re-traces."""
-        os.environ["VTP_DECODE_PRECISION"] = decode_precision
+        6-pass — an explicit argument since round 5, so each precision is
+        its own trace, no env/cache interplay)."""
+        leg_t0 = time.monotonic()
 
         def encode(params, image):
             return get_reconstruction_latents(params, cfg, image, jnp.bfloat16)
 
         def decode(params, latents):
-            return get_latents_decoded_images(params, cfg, latents, None)
+            return get_latents_decoded_images(params, cfg, latents, None,
+                                              decode_precision)
 
         def roundtrip(params, image):
             return decode(params, encode(params, image))
@@ -474,18 +540,25 @@ def main() -> None:
         t0 = time.perf_counter()
         out = jfn(params, x, zero)
         _ = float(tap(out))
-        print(f"[bench] dp={decode_precision} compile+first: "
-              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        _hb(f"{mode} dp={decode_precision} compile+first: "
+            f"{time.perf_counter() - t0:.1f}s")
         _ = float(tap(jfn(params, x, zero)))  # warm steady-state
 
-        t0 = time.perf_counter()
+        walls = []
         carry = zero
-        for _ in range(iters):
+        for i in range(iters):
+            t0 = time.perf_counter()
             out = jfn(params, x, carry)
-            carry = tap(out)
-        _ = float(carry)  # host fetch = real synchronization
-        dt = time.perf_counter() - t0
-        return batch * iters / dt
+            carry = float(tap(out))  # host fetch = real synchronization
+            walls.append(time.perf_counter() - t0)
+            if (i + 1) % 5 == 0 or walls[-1] > 2.0:
+                _hb(f"{mode} dp={decode_precision} iter {i + 1}/{iters}: "
+                    f"{walls[-1]*1e3:.1f} ms")
+            if len(walls) >= 2 and time.monotonic() - leg_t0 > LEG_BUDGET_S:
+                _hb(f"{mode} dp={decode_precision}: leg budget spent after "
+                    f"{len(walls)} iters — stopping early")
+                break
+        return _min_wall_rate(walls, batch)
 
     # vs_baseline denominator: analytic SoL of the REFERENCE-EXACT
     # protocol (encode bf16 at peak + decode 6-pass fp32 emulation)
@@ -496,10 +569,6 @@ def main() -> None:
     # the protocol's own bf16-latent noise floor). Audit trail: the
     # reference-exact 6-pass number ships in the same JSON.
     dp_headline = os.environ.get("BENCH_DECODE_PRECISION", "high")
-    imgs_per_sec = measure(dp_headline)
-    print(f"[bench] {mode}: {imgs_per_sec:.1f} img/s, SoL {sol:.1f} img/s "
-          f"({imgs_per_sec/sol*100:.1f}%), flops/img enc {enc/1e9:.1f}G "
-          f"dec {dec/1e9:.1f}G", file=sys.stderr)
     result = {
         "metric": (
             f"{preset} 256px {mode} throughput (bf16 encode / fp32 decode; "
@@ -508,15 +577,11 @@ def main() -> None:
             f"6-pass fp32 decode); vs_baseline = fraction of the "
             f"reference-exact 6-pass-decode speed-of-light"
         ),
-        "value": round(imgs_per_sec, 2),
+        "value": None,
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / sol, 4),
+        "vs_baseline": None,
     }
-    if mode in ("roundtrip", "decode") and dp_headline == "high":
-        exact = measure("float32")
-        result["value_exact"] = round(exact, 2)
-        result["vs_baseline_exact"] = round(exact / sol, 4)
-    elif dp_headline != "high":
+    if dp_headline != "high":
         result["metric"] = result["metric"].replace(
             "headline value = validated 3-pass fp32 decode, error 38x below "
             "the protocol bf16 noise floor",
@@ -525,6 +590,31 @@ def main() -> None:
         result["metric"] = result["metric"].replace(
             "bf16 encode",
             "int8 W8A8 encode (serving option, not the parity protocol)")
+
+    try:
+        mw = measure(dp_headline)
+        imgs_per_sec = mw["rate"]
+        result["value"] = round(imgs_per_sec, 2)
+        result["vs_baseline"] = round(imgs_per_sec / sol, 4)
+        result["walls"] = mw["walls"]
+        _hb(f"{mode}: {imgs_per_sec:.1f} img/s, SoL {sol:.1f} img/s "
+            f"({imgs_per_sec/sol*100:.1f}%), flops/img enc {enc/1e9:.1f}G "
+            f"dec {dec/1e9:.1f}G")
+    except Exception as e:  # pragma: no cover - OOM/compile guard
+        _hb(f"{mode} dp={dp_headline} failed: {e}")
+        result["error"] = str(e)[:200]
+    _emit(result)  # leg 1 landed — the artifact is non-empty from here on
+
+    if (mode in ("roundtrip", "decode") and dp_headline == "high"
+            and _elapsed() < TOTAL_BUDGET_S - 120):
+        try:
+            mw = measure("float32")
+            result["value_exact"] = round(mw["rate"], 2)
+            result["vs_baseline_exact"] = round(mw["rate"] / sol, 4)
+        except Exception as e:  # pragma: no cover
+            _hb(f"{mode} dp=float32 failed: {e}")
+            result["value_exact_error"] = str(e)[:200]
+        _emit(result)
 
     if mode == "roundtrip" and os.environ.get("BENCH_TRAIN", "1") == "1":
         # train-mode numbers ride along in the same auditable JSON
@@ -537,18 +627,36 @@ def main() -> None:
 
         gc.collect()
         train = []
+        result["train"] = train
         train_iters = int(os.environ.get("BENCH_TRAIN_ITERS", "10"))
-        for ssl in (False, True):
-            try:
-                remat, unroll = _train_env_config("vtp-base")
-                train.append(measure_train(
-                    preset="vtp-base", batch=32, iters=train_iters,
-                    ssl=ssl, remat=remat, unroll=unroll))
-            except Exception as e:  # pragma: no cover - OOM/compile guard
-                print(f"[bench] train ssl={ssl} failed: {e}", file=sys.stderr)
-                train.append({"step": "CLIP+SSL+rec" if ssl else "CLIP+rec",
-                              "error": str(e)[:200]})
+
+        def run_leg(label, skip_row, fn):
+            """One budgeted train leg: emit the full JSON after it lands
+            (or errors), and skip with an explicit row when the total
+            budget is too spent to start it."""
+            if _elapsed() > TOTAL_BUDGET_S - 180:
+                _hb(f"skipping {label}: total budget "
+                    f"({TOTAL_BUDGET_S:.0f}s) nearly spent")
+                train.append({**skip_row, "error": "budget"})
+            else:
+                try:
+                    train.append(fn())
+                except Exception as e:  # pragma: no cover - OOM guard
+                    _hb(f"{label} failed: {e}")
+                    train.append({**skip_row, "error": str(e)[:200]})
             gc.collect()
+            _emit(result)
+
+        for ssl in (False, True):
+            remat, unroll = _train_env_config("vtp-base")
+            run_leg(
+                f"train vtp-base ssl={ssl}",
+                {"step": "CLIP+SSL+rec" if ssl else "CLIP+rec",
+                 "preset": "vtp-base"},
+                lambda ssl=ssl, remat=remat, unroll=unroll: measure_train(
+                    preset="vtp-base", batch=32, iters=train_iters,
+                    ssl=ssl, remat=remat, unroll=unroll),
+            )
         # flagship preset (BASELINE.md north star): VTP-L CLIP+rec.
         # Operating point from the round-4 ladder (PERF.md "VTP-L
         # accumulation ladder"): no-remat DOES compile at microbatch
@@ -558,33 +666,43 @@ def main() -> None:
         # 65.7 for remat=attn B=32 x accum 8. BENCH_REMAT/BENCH_UNROLL
         # still override (then plain-step B=32, fp32 moments — the
         # pre-ladder operating point).
-        try:
-            if os.environ.get("BENCH_REMAT") is None:
-                remat, unroll, lbatch, mom, acc = False, True, 16, "bf16", 16
-            else:
-                remat, unroll = _train_env_config("vtp-large")
-                lbatch, mom, acc = 32, "fp32", 1
-            train.append(measure_train(
+        if os.environ.get("BENCH_REMAT") is None:
+            l_remat, l_unroll, lbatch, mom, acc = False, True, 16, "bf16", 16
+        else:
+            l_remat, l_unroll = _train_env_config("vtp-large")
+            lbatch, mom, acc = 32, "fp32", 1
+        run_leg(
+            "train vtp-large CLIP+rec",
+            {"step": "CLIP+rec", "preset": "vtp-large"},
+            lambda: measure_train(
                 preset="vtp-large", batch=lbatch,
                 iters=max(train_iters // 2, 4),
-                ssl=False, remat=remat, unroll=unroll, moment_dtype=mom,
-                accum=acc))
-        except Exception as e:  # pragma: no cover - OOM/compile guard
-            print(f"[bench] train vtp-large failed: {e}", file=sys.stderr)
-            train.append({"step": "CLIP+rec", "preset": "vtp-large",
-                          "error": str(e)[:200]})
-        gc.collect()
+                ssl=False, remat=l_remat, unroll=l_unroll, moment_dtype=mom,
+                accum=acc),
+        )
+        # flagship SSL pre-training step (round-4 verdict item 3): VTP-L
+        # CLIP+SSL+rec. Operating point from the round-5 ladder
+        # (PERF.md): remat="attn" microbatch 8 x accum 32 to global 256,
+        # bf16 moments (no-remat OOMs — the SSL multi-crop activations
+        # are the wall, not the optimizer state).
+        run_leg(
+            "train vtp-large CLIP+SSL+rec",
+            {"step": "CLIP+SSL+rec", "preset": "vtp-large"},
+            lambda: measure_train(
+                preset="vtp-large", batch=8,
+                iters=max(train_iters // 2, 4),
+                ssl=True, remat="attn", unroll=True, moment_dtype="bf16",
+                accum=32),
+        )
         # generation recipe: DiT-XL/1 with host-driven bf16 accumulation
-        try:
-            train.append(measure_dit(batch=32, iters=max(train_iters // 2, 4),
-                                     accum=8))
-        except Exception as e:  # pragma: no cover - OOM/compile guard
-            print(f"[bench] train DiT-XL failed: {e}", file=sys.stderr)
-            train.append({"step": "DiT flow transport", "preset": "DiT-XL/1",
-                          "error": str(e)[:200]})
-        result["train"] = train
+        run_leg(
+            "train DiT-XL",
+            {"step": "DiT flow transport", "preset": "DiT-XL/1"},
+            lambda: measure_dit(batch=32, iters=max(train_iters // 2, 4),
+                                accum=8),
+        )
 
-    print(json.dumps(result))
+    _emit(result)
 
 
 if __name__ == "__main__":
