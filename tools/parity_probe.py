@@ -1,13 +1,14 @@
 """On-chip kernel-vs-fallback parity probe (VERDICT r3 item 5).
 
 Runs the SAME random weights and inputs through the Pallas-kernel path
-and the XLA fallback (``VTP_DISABLE_FLASH=1`` + ``VTP_DISABLE_FUSED_CE=1``)
-on the real TPU, and reports forward / loss / gradient deltas. This
-closes the gap between "interpret mode agrees" (the CPU unit tests,
-tests/test_ops_parity.py) and "the chip agrees": Mosaic lowering bugs
-are silent in interpret mode (see PERF.md "Mosaic head-packing bug").
+and the XLA fallback (``configure_kernels(disable_flash=True,
+disable_fused_ce=True)``) on the real TPU, and reports forward / loss /
+gradient deltas. This closes the gap between "interpret mode agrees"
+(the CPU unit tests, tests/test_ops_parity.py) and "the chip agrees":
+Mosaic lowering bugs are silent in interpret mode (see PERF.md "Mosaic
+head-packing bug").
 
-Probes (vtp-small preset, fixed seeds):
+Probes (per preset, fixed seeds):
   * bf16 encode latents (fused qkv+rope+attention fwd)
   * CLIP image + text features (non-causal + causal kernel arms)
   * fp32 decode (fp32-precision kernel arm)
@@ -15,12 +16,14 @@ Probes (vtp-small preset, fixed seeds):
     (attention bwd kernels, qk-norm arm via DiT is covered separately,
     fused one-pass CE kernel)
 
-Intended cadence: once per round on the axon TPU; record the row in
-PARITY.md ("On-chip kernel parity probe"). Mirrors the reference's
-golden-activation test strategy (SURVEY.md §4) at the whole-model level.
+Round-5 cadence (VERDICT r4 item 5): one row per FLAGSHIP preset —
+vtp-small exercises the small kernel shapes, vtp-base/large the big-slab
+block shapes, the qk-norm VMEM gate, and the 64 MB scoped-VMEM path.
+``--presets vtp-small,vtp-base`` runs them back-to-back in one TPU
+grant; record the artifact in PARITY.md.
 
-Usage:  nohup python -u tools/parity_probe.py > /tmp/parity_probe.log 2>&1 &
-        python tools/parity_probe.py --json out.json   # artifact path
+Usage:  nohup python -u tools/parity_probe.py --presets vtp-small,vtp-base \
+            --json traces/parity_probe_r5.json > /tmp/parity_probe.log 2>&1 &
 CPU self-test (interpret-mode kernels): VTP_PALLAS_INTERPRET=1
 JAX_PLATFORMS=cpu python tools/parity_probe.py --small
 """
@@ -43,16 +46,7 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from vtp_tpu.config import PRESETS  # noqa: E402
-
-_FALLBACK_ENV = ("VTP_DISABLE_FLASH", "VTP_DISABLE_FUSED_CE")
-
-
-def _set_fallback(on: bool) -> None:
-    for k in _FALLBACK_ENV:
-        if on:
-            os.environ[k] = "1"
-        else:
-            os.environ.pop(k, None)
+from vtp_tpu.ops.dispatch import configure_kernels  # noqa: E402
 
 
 def _rel(a: np.ndarray, b: np.ndarray) -> float:
@@ -60,16 +54,16 @@ def _rel(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.abs(a - b).max()) / denom
 
 
-def run_arm(fallback: bool, *, preset: str, batch: int, tiny: bool) -> dict:
-    """Build + run every probe with kernels on or off. Functions are
-    (re)defined per arm so jit traces freshly under the env setting
-    (pallas_enabled() is read at trace time)."""
+def run_arm(fallback: bool, *, preset: str, batch: int) -> dict:
+    """Build + run every probe with kernels on or off. configure_kernels
+    clears the jit caches on a flip, so each arm re-traces under its own
+    dispatch by construction (no fresh-lambda bookkeeping needed)."""
     from vtp_tpu.models import vtp_model as vm
     from vtp_tpu.train.step import (
         TrainConfig, build_train_step, init_state, make_ssl_batch,
     )
 
-    _set_fallback(fallback)
+    configure_kernels(disable_flash=fallback, disable_fused_ce=fallback)
     cfg = PRESETS[preset]()
     key = jax.random.key(0)
     params = vm.init_vtp_params(key, cfg)
@@ -119,30 +113,18 @@ def run_arm(fallback: bool, *, preset: str, batch: int, tiny: bool) -> dict:
                      if k.startswith("loss/")}
     out["grad_norm"] = float(metrics["grad_norm"])
     out["wall_s"] = round(time.perf_counter() - t0, 1)
-    _set_fallback(False)
+    configure_kernels(disable_flash=False, disable_fused_ce=False)
     return out
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="vtp-small")
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--small", action="store_true",
-                    help="tiny CPU self-test sizes (batch 2)")
-    ap.add_argument("--json", default=None, help="write the result dict here")
-    args = ap.parse_args()
-    if args.small:
-        args.batch = 2
-
-    print(f"device: {jax.devices()[0]}  preset={args.preset} "
-          f"batch={args.batch}", flush=True)
-
-    kern = run_arm(False, preset=args.preset, batch=args.batch, tiny=args.small)
+def probe_preset(preset: str, batch: int) -> dict:
+    print(f"== preset {preset} batch {batch}", flush=True)
+    kern = run_arm(False, preset=preset, batch=batch)
     print(f"kernel arm done in {kern['wall_s']}s", flush=True)
-    ref = run_arm(True, preset=args.preset, batch=args.batch, tiny=args.small)
+    ref = run_arm(True, preset=preset, batch=batch)
     print(f"fallback arm done in {ref['wall_s']}s", flush=True)
 
-    report = {"preset": args.preset, "batch": args.batch,
+    report = {"preset": preset, "batch": batch,
               "backend": jax.default_backend(), "deltas": {}}
     for name in ("latents", "clip_image", "clip_text", "decode"):
         report["deltas"][name] = {
@@ -159,8 +141,6 @@ def main() -> int:
     report["grad_norm_fallback"] = ref["grad_norm"]
     report["grad_norm_rel"] = (abs(kern["grad_norm"] - ref["grad_norm"])
                                / max(abs(ref["grad_norm"]), 1e-12))
-
-    print(json.dumps(report, indent=2), flush=True)
 
     # gates: bf16 forwards may differ by bf16 rounding (~1e-2 rel).
     # decode: the kernel arm's attention dots use the VALIDATED bf16x3
@@ -180,11 +160,38 @@ def main() -> int:
             fails.append(f"{k} rel {v:.2e} > 5e-3")
     if report["grad_norm_rel"] > 2e-2:
         fails.append(f"grad_norm rel {report['grad_norm_rel']:.2e} > 2e-2")
-    report["fails"] = fails
+    report["fails"] = [f"{preset}: {f}" for f in fails]
+    return report
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--presets", default=None,
+                    help="comma list, e.g. vtp-small,vtp-base")
+    ap.add_argument("--preset", default="vtp-small",
+                    help="single preset (ignored when --presets is set)")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--small", action="store_true",
+                    help="tiny CPU self-test sizes (batch 2)")
+    ap.add_argument("--json", default=None, help="write the result dict here")
+    args = ap.parse_args()
+    if args.small:
+        args.batch = 2
+    presets = (args.presets.split(",") if args.presets else [args.preset])
+
+    print(f"device: {jax.devices()[0]}  presets={presets} "
+          f"batch={args.batch}", flush=True)
+
+    probes = [probe_preset(p.strip(), args.batch) for p in presets]
+    fails = [f for r in probes for f in r["fails"]]
+    result = probes[0] if len(probes) == 1 else {
+        "probes": probes, "fails": fails, "backend": jax.default_backend(),
+    }
+    print(json.dumps(result, indent=2), flush=True)
 
     if args.json:
         with open(args.json, "w") as f:
-            json.dump(report, f, indent=2)
+            json.dump(result, f, indent=2)
     if fails:
         print("PARITY PROBE FAILED: " + "; ".join(fails), flush=True)
         return 1
