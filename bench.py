@@ -258,12 +258,15 @@ def measure_train(*, preset: str, batch: int, iters: int, ssl: bool,
     else:
         micro = jax.jit(ts.micro_step, donate_argnums=(1, 2, 3))
         apply_ = jax.jit(ts.apply_accum, donate_argnums=(0, 1, 2, 3))
-        batch_a = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (accum,) + x.shape), batch_data)
+        # stacked=False: reuse one microbatch per accum step instead of
+        # materializing the (accum, micro, ...) global batch on-chip —
+        # the ~1.1 GB batch stack is what OOMed the VTP-L SSL legs
+        # (traces/r5_vtpl_ssl_ladder.json).
 
         def run(state, key):
-            return run_host_accum_step(ts, tcfg, state, batch_a, key,
-                                       micro_jit=micro, apply_jit=apply_)
+            return run_host_accum_step(ts, tcfg, state, batch_data, key,
+                                       micro_jit=micro, apply_jit=apply_,
+                                       stacked=False)
 
     name = "CLIP+SSL+rec" if ssl else "CLIP+rec"
     t0 = time.perf_counter()
@@ -681,18 +684,23 @@ def main() -> None:
                 accum=acc),
         )
         # flagship SSL pre-training step (round-4 verdict item 3): VTP-L
-        # CLIP+SSL+rec. Operating point from the round-5 ladder
-        # (PERF.md): remat="attn" microbatch 8 x accum 32 to global 256,
-        # bf16 moments (no-remat OOMs — the SSL multi-crop activations
-        # are the wall, not the optimizer state).
+        # CLIP+SSL+rec. unroll=False is REQUIRED here: the unrolled
+        # depth-24 SSL step overruns the tunnel's remote compile helper
+        # even with every Pallas kernel disabled (pure XLA program-size
+        # limit — experiments/r5_ssl_triage2.py); the lax.scan depth
+        # loop compiles and runs. Operating point from the round-5
+        # scan-path ladder (PERF.md, traces/r5_vtpl_ssl_ladder.json):
+        # micro-16 x accum-16 (29.5 img/s) > micro-8 x accum-32 (27.9);
+        # micro-32 OOMs even with remat="attn" (multi-crop activations),
+        # no-remat fails the same remote-compile program-size limit.
         run_leg(
             "train vtp-large CLIP+SSL+rec",
             {"step": "CLIP+SSL+rec", "preset": "vtp-large"},
             lambda: measure_train(
-                preset="vtp-large", batch=8,
+                preset="vtp-large", batch=16,
                 iters=max(train_iters // 2, 4),
-                ssl=True, remat="attn", unroll=True, moment_dtype="bf16",
-                accum=32),
+                ssl=True, remat="attn", unroll=False, moment_dtype="bf16",
+                accum=16),
         )
         # generation recipe: DiT-XL/1 with host-driven bf16 accumulation
         run_leg(

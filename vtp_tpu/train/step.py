@@ -607,24 +607,32 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
 
 
 def run_host_accum_step(train_step, tcfg: TrainConfig, state, batch, key,
-                        micro_jit=None, apply_jit=None):
+                        micro_jit=None, apply_jit=None, stacked=True):
     """Drive ONE optimizer step of host accumulation: every batch leaf
     carries a leading (accum_steps,) microbatch axis (the in-jit scan
     path's contract); the key splits per microbatch identically, so the
     result matches ``train_step`` with the same batch up to accumulator
     rounding. Pass pre-jitted ``micro_jit``/``apply_jit`` (with donation
     on the accumulators) to amortize; otherwise the attributes are
-    jitted here per call."""
+    jitted here per call.
+
+    ``stacked=False`` feeds ``batch`` (a single microbatch, NO leading
+    accum axis) to every micro step instead of slicing. Synthetic-bench
+    mode: materializing the full global batch on one chip costs ~1.1 GB
+    of HBM at VTP-L/global-256 (images + rec targets + SSL crops), which
+    is exactly what tipped the SSL ladder into RESOURCE_EXHAUSTED
+    (traces/r5_vtpl_ssl_ladder.json); per-microbatch keys still differ so
+    the tunnel's dedup cache never collapses the dispatches."""
     accum = max(1, tcfg.accum_steps)
     micro_fn = micro_jit or jax.jit(train_step.micro_step,
                                     donate_argnums=(1, 2, 3))
     apply_fn = apply_jit or jax.jit(train_step.apply_accum,
                                     donate_argnums=(1, 2, 3))
     keys = jax.random.split(key, accum)
-    micro0 = jax.tree.map(lambda x: x[0], batch)
+    micro0 = jax.tree.map(lambda x: x[0], batch) if stacked else batch
     g_sum, m_sum, c_sum = train_step.zero_accumulators(state, micro0)
     for i in range(accum):
-        micro = jax.tree.map(lambda x: x[i], batch)
+        micro = jax.tree.map(lambda x: x[i], batch) if stacked else batch
         g_sum, m_sum, c_sum = micro_fn(state, g_sum, m_sum, c_sum,
                                        micro, keys[i])
     return apply_fn(state, g_sum, m_sum, c_sum)
