@@ -216,9 +216,16 @@ def attention_apply(
                 outs.append(o.reshape(b * n, cfg.dim))
                 continue
 
-        q = jax.lax.slice_in_dim(qkv, 0, d, axis=-1).reshape(b, n, nh, hd)
-        k = jax.lax.slice_in_dim(qkv, d, 2 * d, axis=-1).reshape(b, n, nh, hd)
-        v = jax.lax.slice_in_dim(qkv, 2 * d, 3 * d, axis=-1).reshape(b, n, nh, hd)
+        # two single-axis reshapes, not one (b*n, d) -> (b, n, nh, hd):
+        # under explicit-sharding meshes a multi-axis split of a
+        # sharded operand is a ShardingTypeError (the rows carry @data
+        # from an upstream shard_map-dispatched kernel)
+        def _split(t):
+            return t.reshape(b, n, d).reshape(b, n, nh, hd)
+
+        q = _split(jax.lax.slice_in_dim(qkv, 0, d, axis=-1))
+        k = _split(jax.lax.slice_in_dim(qkv, d, 2 * d, axis=-1))
+        v = _split(jax.lax.slice_in_dim(qkv, 2 * d, 3 * d, axis=-1))
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"]["scale"])
             k = rms_norm(k, p["k_norm"]["scale"])
@@ -228,7 +235,8 @@ def attention_apply(
         if compute_dtype is not None:
             q, k, v = (t.astype(compute_dtype) for t in (q, k, v))
         o = sdpa_bnhd(q, k, v, n_valid=n_valid)
-        outs.append(o.reshape(b * n, cfg.dim))
+        # single-axis merges (see _split above)
+        outs.append(o.reshape(b, n, cfg.dim).reshape(b * n, cfg.dim))
     out_flat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     # Named for remat policies ("attn"/"dots_attn" in remat_wrap): saving
     # the attention output keeps the backward from re-running the flash

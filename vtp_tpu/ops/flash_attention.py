@@ -70,21 +70,39 @@ def _mesh_batch_shards():
     return mesh, mesh_axis_size(mesh, DATA_AXIS)
 
 
-def _mesh_ok(batch: int) -> bool:
+def _mesh_model_size() -> int:
+    """Model-axis size of the ambient mesh (1 when single-device)."""
+    from vtp_tpu.parallel.mesh import MODEL_AXIS, mesh_axis_size
+
+    mesh, _ = _mesh_batch_shards()
+    return 1 if mesh is None else mesh_axis_size(mesh, MODEL_AXIS)
+
+
+def _mesh_ok(batch: int, heads: int = 0) -> bool:
     """Kernel×mesh composability gate. ``pallas_call`` has no SPMD
     partitioning rule (see ops/fused_ce.py), so under a multi-device
     mesh the attention kernels run per-shard inside ``jax.shard_map``
     over the data (batch) axis — this requires a clean batch split.
-    Tensor-parallel meshes (model axis > 1) fall back to the XLA path:
-    TP shards the qkv features/heads over ``model`` and GSPMD keeps the
-    einsum attention head-sharded, whereas the batch-sharded kernel
-    would force an all-gather of the features every layer."""
+
+    Tensor-parallel meshes (model axis > 1): attention heads are
+    embarrassingly parallel, and under the Megatron layout the qkv
+    features already live on the model axis, so kernels whose callers
+    declare a shardable head axis (``heads > 0``, the ``bnhd``/``bhnd``
+    entries) run per-shard over ``(data, model)`` with ``heads %
+    model == 0`` — round-5; measured XLA-fallback cost was 47% on the
+    vtp-base step (PERF.md round 5, traces/r5_tp_disengage.json). The
+    FUSED qkv+rope+attention kernel keeps the XLA fallback under TP:
+    its input is the packed (B, N, [Q|K|V]) GEMM output, whose
+    contiguous model-axis column shards straddle the Q/K/V thirds
+    instead of aligning with whole heads (a head-major qkv weight
+    permutation would fix this — see PERF.md for the vit7b design)."""
     from vtp_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS, mesh_axis_size
 
     mesh, n = _mesh_batch_shards()
     if mesh is None:
         return True
-    if mesh_axis_size(mesh, MODEL_AXIS) > 1:
+    m = mesh_axis_size(mesh, MODEL_AXIS)
+    if m > 1 and (heads <= 0 or heads % m):
         return False
     if mesh_axis_size(mesh, SEQ_AXIS) > 1:
         # context-parallel mesh: tokens shard over `seq` and attention
@@ -94,26 +112,41 @@ def _mesh_ok(batch: int) -> bool:
     return n == 1 or batch % n == 0
 
 
-def _dispatch_sharded(fn, inputs, batched, out_ranks):
+def _dispatch_sharded(fn, inputs, batched, out_ranks, head_axis=None):
     """Run ``fn(*inputs)`` directly (single-device) or inside
-    ``jax.shard_map`` over the data axis of the ambient mesh.
+    ``jax.shard_map`` over the data (and, optionally, model) axes of
+    the ambient mesh.
 
     ``batched`` flags which inputs carry a leading batch dim (sharded
     over ``data``; the rest are replicated). ``out_ranks`` gives the
     rank of each batch-leading output (list => fn returns a list).
-    Callers must have passed the :func:`_mesh_ok` gate."""
+    ``head_axis`` (int) names the dimension of every batched input AND
+    output that carries attention heads (contiguous per-head chunks for
+    flattened ``H*d`` feature dims): under a model-parallel mesh that
+    dimension shards over ``model`` — heads are embarrassingly parallel,
+    so the per-shard kernel body just sees ``H / model`` heads. Callers
+    must have passed the :func:`_mesh_ok` gate (which requires
+    ``heads % model == 0`` whenever ``head_axis`` dispatch is used)."""
     mesh, n = _mesh_batch_shards()
-    if mesh is None or n <= 1:
+    m = _mesh_model_size()
+    if mesh is None or (n <= 1 and m <= 1):
         return fn(*inputs)
     from jax.sharding import PartitionSpec as P
 
-    from vtp_tpu.parallel.mesh import DATA_AXIS
+    from vtp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+    def spec(rank, is_batched):
+        if not is_batched:
+            return P(*(None,) * rank)
+        parts = [DATA_AXIS] + [None] * (rank - 1)
+        if m > 1 and head_axis is not None:
+            parts[head_axis] = MODEL_AXIS
+        return P(*parts)
 
     in_specs = tuple(
-        P(DATA_AXIS, *(None,) * (a.ndim - 1)) if b else P(*(None,) * a.ndim)
-        for a, b in zip(inputs, batched)
+        spec(a.ndim, b) for a, b in zip(inputs, batched)
     )
-    out_specs = tuple(P(DATA_AXIS, *(None,) * (r - 1)) for r in out_ranks)
+    out_specs = tuple(spec(r, True) for r in out_ranks)
     if len(out_specs) == 1:
         out_specs = out_specs[0]
     return jax.shard_map(
@@ -133,7 +166,7 @@ def flash_supported(q, k, v, *, is_causal: bool = False) -> bool:
         # which honors jax.default_matmul_precision('float32'); Mosaic
         # only lowers DEFAULT/HIGHEST dot precisions.
         return False
-    if not _mesh_ok(q.shape[0]):
+    if not _mesh_ok(q.shape[0], heads=q.shape[1]):
         return False
     n = q.shape[2]
     return 2 <= n <= _MAX_SEQ_FULL and q.shape[3] in (32, 64, 128)
@@ -828,16 +861,90 @@ def flash_supported_bnhd(q, k, v) -> bool:
         return False
     if q.dtype != jnp.bfloat16:
         return False
-    if not _mesh_ok(q.shape[0]):
+    if not _mesh_ok(q.shape[0], heads=q.shape[2]):
         return False
     n, h, d = q.shape[1], q.shape[2], q.shape[3]
     if not (2 <= n <= _MAX_SEQ_FULL and d in (32, 64, 128)):
         return False
-    # whole-row blocks must fit VMEM (4 buffers + fp32 scores, x2 pipeline)
+    # whole-row blocks must fit VMEM (4 buffers + fp32 scores, x2
+    # pipeline); under a model-parallel mesh each shard holds h/model
+    # heads (head-sharded dispatch, _dispatch_sharded head_axis)
+    h = h // _mesh_model_size()
     vmem_bytes = 4 * n * h * d * 2 * 2 + 2 * n * n * 4
     return vmem_bytes < 12 * 1024 * 1024
 
 
+def _flash_bnhd_impl(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, N, H, d = q.shape
+    scale = d**-0.5
+    q = q.reshape(B, N, H * d)
+    k = k.reshape(B, N, H * d)
+    v = v.reshape(B, N, H * d)
+
+    def _impl(qf, kf, vf):
+        # per-shard sizes under a multi-device mesh: batch shards over
+        # data, heads (contiguous d-wide column chunks) over model
+        Bl = qf.shape[0]
+        Hl = qf.shape[2] // d
+
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            for h in range(Hl):
+                sl = slice(h * d, (h + 1) * d)
+                qb = q_ref[0, :, sl]
+                kb = k_ref[0, :, sl]
+                vb = v_ref[0, :, sl]
+                scores = jax.lax.dot_general(
+                    qb, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                ) * scale
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores - m)
+                probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vb.dtype)
+                out = jax.lax.dot_general(
+                    probs, vb, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT,
+                )
+                o_ref[0, :, sl] = out.astype(o_ref.dtype)
+
+        spec = pl.BlockSpec((1, N, Hl * d), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(Bl,),
+            in_specs=[spec, spec, spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((Bl, N, Hl * d), qf.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 2 * Bl * Hl * N * N * d,
+                bytes_accessed=4 * Bl * Hl * N * d * qf.dtype.itemsize,
+                transcendentals=Bl * Hl * N * N,
+            ),
+            interpret=kernel_dispatch().interpret,
+        )(qf, kf, vf)
+
+    out = _dispatch_sharded(_impl, (q, k, v), [True, True, True],
+                            out_ranks=[3], head_axis=2)
+    return out.reshape(B, N, H, d)
+
+
+def _sdpa_bnhd_xla(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """XLA einsum reference for (B, N, H, d) SDPA — same numerics as the
+    kernel (fp32 score/PV accumulation, probs cast to v dtype). Used as
+    the recompute backward of :func:`flash_attention_bnhd`."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@jax.custom_vjp
 def flash_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     """Non-causal flash attention over ``(B, N, H, d)`` — the layout the
     qkv projection produces, so no host-side transpose ever
@@ -852,60 +959,46 @@ def flash_attention_bnhd(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
       * operands stay bf16 with fp32 MXU accumulation
         (preferred_element_type) — pre-casting to fp32 would select
         multi-pass fp32 matmuls.
-    """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
-    B, N, H, d = q.shape
-    scale = d**-0.5
-    q = q.reshape(B, N, H * d)
-    k = k.reshape(B, N, H * d)
-    v = v.reshape(B, N, H * d)
+    Under a model-parallel mesh, heads shard over ``model`` and the
+    kernel runs per-shard over ``H / model`` heads (round-5; the train
+    hot path's fused qkv kernel cannot do this — see :func:`_mesh_ok`).
+    Differentiable via a recompute VJP (the backward re-runs the XLA
+    einsum attention and differentiates that — the pre-round-2 pattern);
+    the TRAIN hot path uses the fused kernel's dedicated backward
+    kernels instead, so this VJP only serves ad-hoc grads through
+    inference entry points."""
+    return _flash_bnhd_impl(q, k, v)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref):
-        for h in range(H):
-            sl = slice(h * d, (h + 1) * d)
-            qb = q_ref[0, :, sl]
-            kb = k_ref[0, :, sl]
-            vb = v_ref[0, :, sl]
-            scores = jax.lax.dot_general(
-                qb, kb, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            ) * scale
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            p = jnp.exp(scores - m)
-            probs = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vb.dtype)
-            out = jax.lax.dot_general(
-                probs, vb, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.DEFAULT,
-            )
-            o_ref[0, :, sl] = out.astype(o_ref.dtype)
 
-    spec = pl.BlockSpec((1, N, H * d), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
+def _flash_bnhd_fwd(q, k, v):
+    return _flash_bnhd_impl(q, k, v), (q, k, v)
 
-    def _impl(qf, kf, vf):
-        import os
 
-        Bl = qf.shape[0]  # per-shard batch under a multi-device mesh
-        return pl.pallas_call(
-            kernel,
-            grid=(Bl,),
-            in_specs=[spec, spec, spec],
-            out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((Bl, N, H * d), qf.dtype),
-            cost_estimate=pl.CostEstimate(
-                flops=2 * 2 * Bl * H * N * N * d,
-                bytes_accessed=4 * Bl * H * N * d * qf.dtype.itemsize,
-                transcendentals=Bl * H * N * N,
-            ),
-            interpret=kernel_dispatch().interpret,
-        )(qf, kf, vf)
+def _flash_bnhd_bwd(res, g):
+    # standard SDPA adjoint written out (fp32), rather than a nested
+    # jax.vjp of _sdpa_bnhd_xla: under explicit-sharding meshes the
+    # cotangent arrives sharding-typed (bf16[B@data,...]) and a nested
+    # vjp rejects it; plain einsums let GSPMD shard the math instead
+    q, k, v = res
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores * scale, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", probs, g32,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True)) * scale
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
-    out = _dispatch_sharded(_impl, (q, k, v), [True, True, True], out_ranks=[3])
-    return out.reshape(B, N, H, d)
+
+flash_attention_bnhd.defvjp(_flash_bnhd_fwd, _flash_bnhd_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("is_causal",))
@@ -936,26 +1029,27 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array, *, is_causal: bool
     spec = pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
     def _impl(qb, kb, vb):
-        import os
-
-        Bl = qb.shape[0]  # per-shard batch under a multi-device mesh
-        qf = qb.reshape(Bl * H, n_pad, d)
-        kf = kb.reshape(Bl * H, n_pad, d)
-        vf = vb.reshape(Bl * H, n_pad, d)
+        # per-shard sizes under a multi-device mesh: batch shards over
+        # data, heads (dim 1) over model
+        Bl, Hl = qb.shape[0], qb.shape[1]
+        qf = qb.reshape(Bl * Hl, n_pad, d)
+        kf = kb.reshape(Bl * Hl, n_pad, d)
+        vf = vb.reshape(Bl * Hl, n_pad, d)
         out = pl.pallas_call(
             kernel,
-            grid=(Bl * H,),
+            grid=(Bl * Hl,),
             in_specs=[spec, spec, spec],
             out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct((Bl * H, n_pad, d), qb.dtype),
+            out_shape=jax.ShapeDtypeStruct((Bl * Hl, n_pad, d), qb.dtype),
             cost_estimate=pl.CostEstimate(
-                flops=2 * 2 * (Bl * H) * n_pad * n_pad * d,
-                bytes_accessed=4 * (Bl * H) * n_pad * d * qb.dtype.itemsize,
-                transcendentals=(Bl * H) * n_pad * n_pad,
+                flops=2 * 2 * (Bl * Hl) * n_pad * n_pad * d,
+                bytes_accessed=4 * (Bl * Hl) * n_pad * d * qb.dtype.itemsize,
+                transcendentals=(Bl * Hl) * n_pad * n_pad,
             ),
             interpret=kernel_dispatch().interpret,
         )(qf, kf, vf)
-        return out.reshape(Bl, H, n_pad, d)
+        return out.reshape(Bl, Hl, n_pad, d)
 
-    out = _dispatch_sharded(_impl, (q, k, v), [True, True, True], out_ranks=[4])
+    out = _dispatch_sharded(_impl, (q, k, v), [True, True, True],
+                            out_ranks=[4], head_axis=1)
     return out[:, :, :N, :] if pad else out
