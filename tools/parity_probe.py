@@ -164,6 +164,33 @@ def probe_preset(preset: str, batch: int) -> dict:
     return report
 
 
+_ROW_MARK = "PROBE_ROW:"
+
+
+def _probe_in_subprocess(preset: str, batch: int) -> dict:
+    """One preset per fresh process: both arms of a preset leave dead
+    HBM buffers behind through the tunnel, and three presets in one
+    process pushed the vtp-large leg into RESOURCE_EXHAUSTED even
+    though it runs standalone (same lesson as the round-5 SSL ladder —
+    CLAUDE.md round 5)."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "-u", os.path.abspath(__file__),
+         "--preset", preset, "--batch", str(batch), "--emit-row"],
+        capture_output=True, text=True, timeout=1800,
+    )
+    _sys.stdout.write(proc.stdout)
+    for line in proc.stdout.splitlines():
+        if line.startswith(_ROW_MARK):
+            return json.loads(line[len(_ROW_MARK):])
+    tail = (proc.stderr.strip().splitlines() or ["no stderr"])[-1]
+    return {"preset": preset, "batch": batch,
+            "fails": [f"{preset}: probe subprocess rc={proc.returncode}: "
+                      f"{tail[:200]}"]}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--presets", default=None,
@@ -174,15 +201,24 @@ def main() -> int:
     ap.add_argument("--small", action="store_true",
                     help="tiny CPU self-test sizes (batch 2)")
     ap.add_argument("--json", default=None, help="write the result dict here")
+    ap.add_argument("--emit-row", action="store_true",
+                    help="(internal) print the single-preset report as a "
+                         "PROBE_ROW: line for the parent process")
     args = ap.parse_args()
     if args.small:
         args.batch = 2
-    presets = (args.presets.split(",") if args.presets else [args.preset])
 
-    print(f"device: {jax.devices()[0]}  presets={presets} "
-          f"batch={args.batch}", flush=True)
-
-    probes = [probe_preset(p.strip(), args.batch) for p in presets]
+    if args.presets:
+        presets = [p.strip() for p in args.presets.split(",")]
+        print(f"presets={presets} batch={args.batch} "
+              f"(one fresh process per preset)", flush=True)
+        probes = [_probe_in_subprocess(p, args.batch) for p in presets]
+    else:
+        print(f"device: {jax.devices()[0]}  preset={args.preset} "
+              f"batch={args.batch}", flush=True)
+        probes = [probe_preset(args.preset, args.batch)]
+        if args.emit_row:
+            print(_ROW_MARK + json.dumps(probes[0]), flush=True)
     fails = [f for r in probes for f in r["fails"]]
     result = probes[0] if len(probes) == 1 else {
         "probes": probes, "fails": fails, "backend": jax.default_backend(),
