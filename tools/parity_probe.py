@@ -97,7 +97,12 @@ def run_arm(fallback: bool, *, preset: str, batch: int) -> dict:
         params, zk)
     out["decode"] = np.asarray(dec, np.float32)
 
-    # full train step (CLIP + rec + SSL): losses + grad norm
+    # full train step (CLIP + rec + SSL): losses + grad norm. Free the
+    # forward-probe params FIRST: at vtp-large a standalone param set +
+    # the fp32 train state (params + 2 moments + teacher) + the SSL
+    # step's activations exceed one v5e's HBM (round-5 probe OOM), and
+    # the step's old state is donated for the same reason.
+    del params, lat, feats, tfeat, dec
     tcfg = TrainConfig(train_ssl=True, warmup_steps=0, total_steps=100,
                        remat=True, unroll_layers=False)
     state = init_state(jax.random.key(0), cfg, tcfg)
@@ -107,7 +112,7 @@ def run_arm(fallback: bool, *, preset: str, batch: int) -> dict:
                               global_size=cfg.image_size,
                               patch=cfg.vision_patch_size),
     }
-    step = jax.jit(build_train_step(cfg, tcfg))
+    step = jax.jit(build_train_step(cfg, tcfg), donate_argnums=(0,))
     _, metrics = step(state, b, jax.random.key(2))
     out["losses"] = {k: float(v) for k, v in metrics.items()
                      if k.startswith("loss/")}
@@ -212,7 +217,12 @@ def main() -> int:
         presets = [p.strip() for p in args.presets.split(",")]
         print(f"presets={presets} batch={args.batch} "
               f"(one fresh process per preset)", flush=True)
-        probes = [_probe_in_subprocess(p, args.batch) for p in presets]
+        # vtp-large: param state + SSL activations leave no room for
+        # batch 8 even standalone; the kernel shapes probed (per-head
+        # VMEM slabs, qk-norm gate, 64 MB scoped path) are batch-
+        # independent (batch is grid-only), so shrink rather than skip
+        batch_for = lambda p: min(args.batch, 4) if p == "vtp-large" else args.batch
+        probes = [_probe_in_subprocess(p, batch_for(p)) for p in presets]
     else:
         print(f"device: {jax.devices()[0]}  preset={args.preset} "
               f"batch={args.batch}", flush=True)

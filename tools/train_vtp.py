@@ -86,6 +86,15 @@ def parse_args(argv=None):
                         "axis > 1 in --mesh)")
     p.add_argument("--mesh", default=None,
                    help="DATA,MODEL mesh shape (default: all devices on data)")
+    p.add_argument("--tp_head_major", action="store_true",
+                   help="permute the trunk qkv parameters into model-rank-"
+                        "major column groups (parallel.sharding."
+                        "qkv_head_major) so the fused Pallas attention "
+                        "kernels engage per-shard under the model axis "
+                        "instead of the +47%% XLA fallback (PERF.md r5); "
+                        "needs a model axis > 1 dividing vision_num_heads; "
+                        "checkpoints carry the layout (resume with the "
+                        "same flag; inverse-permute for export)")
     p.add_argument("--context_parallel", type=int, default=1,
                    help="shard the attention token dim over a seq axis of "
                         "this size (ring/Ulysses context parallelism, "
@@ -290,6 +299,14 @@ def main(argv=None) -> None:
         raise SystemExit("--sequence_parallel needs a model axis > 1 "
                          "(--mesh DATA,MODEL); it would silently no-op "
                          "on this mesh")
+    if args.tp_head_major:
+        if n_model <= 1:
+            raise SystemExit("--tp_head_major needs a model axis > 1 "
+                             "(--mesh DATA,MODEL); the canonical layout is "
+                             "already optimal single-rank")
+        if cfg.vision_num_heads % n_model:
+            raise SystemExit(f"--tp_head_major: vision_num_heads "
+                             f"{cfg.vision_num_heads} % model {n_model} != 0")
     if args.batch_size % max(args.accum_steps * n_data, 1):
         raise SystemExit(f"global batch {args.batch_size} must divide by "
                          f"accum_steps x data axis "
@@ -315,6 +332,7 @@ def main(argv=None) -> None:
         moment_dtype=args.moment_dtype,
         sequence_parallel=args.sequence_parallel,
         pipeline_stages=n_pipe,
+        tp_head_major=n_model if args.tp_head_major else 1,
     )
 
     state = init_state(jax.random.key(args.seed), cfg, tcfg)

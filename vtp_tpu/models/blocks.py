@@ -56,6 +56,16 @@ class BlockConfig:
     use_qk_norm: bool = False
     mask_k_bias: bool = False  # LinearKMaskedBias (attention.py:26-38)
     act: str = "gelu"
+    # head-major TP layout factor of the packed qkv parameters: 1 =
+    # canonical [Q|K|V] columns; m > 1 = the columns are permuted into
+    # m rank-major [Q_r|K_r|V_r] groups (parallel.sharding.qkv_head_major)
+    # so a model-axis GSPMD shard of the qkv GEMM output is itself a
+    # canonical packed qkv for num_heads/m heads — the fused Pallas
+    # attention kernels (fwd + both bwd arms) then engage per-shard
+    # under a model mesh of exactly that size. Math is identical to
+    # canonical for ANY mesh (the XLA split regroups to canonical head
+    # order); only the kernel-engagement layout differs.
+    qkv_head_major: int = 1
 
     @property
     def head_dim(self) -> int:
@@ -163,17 +173,20 @@ def attention_apply(
     """
 
     nh, hd = cfg.num_heads, cfg.head_dim
+    hm = cfg.qkv_head_major
     qkv_p = p["qkv"]
     if cfg.mask_k_bias and qkv_p.get("bias") is not None:
         # LinearKMaskedBias (attention.py:26-38): the K third of the qkv
         # bias is multiplied by a zero mask every forward — the bias
         # stays trainable but K's slice gets zero value AND zero grad.
         # The mask is static (config-derived), so XLA constant-folds it.
-        d = cfg.dim
-        mask = jnp.concatenate(
-            [jnp.ones((d,), jnp.float32), jnp.zeros((d,), jnp.float32),
-             jnp.ones((d,), jnp.float32)]
-        )
+        # Under the head-major TP layout the K columns sit per rank
+        # group, so the mask tiles per group.
+        dg = cfg.dim // hm
+        mask = jnp.tile(jnp.concatenate(
+            [jnp.ones((dg,), jnp.float32), jnp.zeros((dg,), jnp.float32),
+             jnp.ones((dg,), jnp.float32)]
+        ), hm)
         qkv_p = dict(qkv_p, bias=qkv_p["bias"] * mask)
     qkv_flat = linear(flat_normed, qkv_p, compute_dtype)
     # Megatron layout: packed rows are batch-major (shard over data);
@@ -198,7 +211,8 @@ def attention_apply(
             )
 
             if fused_attention_supported((b, n, 3 * d), qkv.dtype, nh,
-                                         qk_norm=cfg.use_qk_norm):
+                                         qk_norm=cfg.use_qk_norm,
+                                         head_major=hm):
                 # fp32 (decode parity mode): follow the ambient matmul
                 # precision so in-kernel dots match the XLA GEMMs
                 # ('float32' -> 6-pass exact, 'high' -> 3-pass bf16x3)
@@ -212,6 +226,7 @@ def attention_apply(
                     k_scale=p["k_norm"]["scale"] if cfg.use_qk_norm else None,
                     n_valid=n_valid,
                     fp32_precision=amb,
+                    head_shards=hm,
                 )
                 outs.append(o.reshape(b * n, cfg.dim))
                 continue
@@ -223,9 +238,23 @@ def attention_apply(
         def _split(t):
             return t.reshape(b, n, d).reshape(b, n, nh, hd)
 
-        q = _split(jax.lax.slice_in_dim(qkv, 0, d, axis=-1))
-        k = _split(jax.lax.slice_in_dim(qkv, d, 2 * d, axis=-1))
-        v = _split(jax.lax.slice_in_dim(qkv, 2 * d, 3 * d, axis=-1))
+        if hm > 1:
+            # head-major TP layout: columns are hm rank-major packed
+            # groups [Q_r|K_r|V_r]; regroup to the canonical head order
+            # (rank r holds the contiguous heads [r*H/hm, (r+1)*H/hm),
+            # so the (hm, d/hm) merge lands features at h*hd + i). GSPMD
+            # keeps the model sharding on the merged head dim.
+            dg = d // hm
+            grp = qkv.reshape(b, n, 3 * d).reshape(b, n, hm, 3 * dg)
+            take = lambda lo, hi: jax.lax.slice_in_dim(
+                grp, lo, hi, axis=-1).reshape(b, n, d).reshape(b, n, nh, hd)
+            q = take(0, dg)
+            k = take(dg, 2 * dg)
+            v = take(2 * dg, 3 * dg)
+        else:
+            q = _split(jax.lax.slice_in_dim(qkv, 0, d, axis=-1))
+            k = _split(jax.lax.slice_in_dim(qkv, d, 2 * d, axis=-1))
+            v = _split(jax.lax.slice_in_dim(qkv, 2 * d, 3 * d, axis=-1))
         if cfg.use_qk_norm:
             q = rms_norm(q, p["q_norm"]["scale"])
             k = rms_norm(k, p["k_norm"]["scale"])

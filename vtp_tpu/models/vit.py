@@ -58,6 +58,11 @@ class ViTConfig:
     rope_jitter_coords: Optional[float] = None
     rope_rescale_coords: Optional[float] = None
     rope_dtype: str = "bf16"
+    # head-major TP layout factor of the trunk's qkv parameters
+    # (parallel.sharding.qkv_head_major; see BlockConfig.qkv_head_major).
+    # Deployment property, not a model property: set it (dataclasses.
+    # replace) when the params were permuted for a model-parallel mesh.
+    qkv_head_major: int = 1
 
     @property
     def block(self) -> BlockConfig:
@@ -73,6 +78,7 @@ class ViTConfig:
             layerscale_init=self.layerscale_init,
             use_qk_norm=self.use_qk_norm,
             mask_k_bias=self.mask_k_bias,
+            qkv_head_major=self.qkv_head_major,
         )
 
     @property

@@ -91,11 +91,15 @@ def _mesh_ok(batch: int, heads: int = 0) -> bool:
     entries) run per-shard over ``(data, model)`` with ``heads %
     model == 0`` — round-5; measured XLA-fallback cost was 47% on the
     vtp-base step (PERF.md round 5, traces/r5_tp_disengage.json). The
-    FUSED qkv+rope+attention kernel keeps the XLA fallback under TP:
-    its input is the packed (B, N, [Q|K|V]) GEMM output, whose
+    FUSED qkv+rope+attention kernel needs more than a shardable head
+    dim: its input is the packed (B, N, [Q|K|V]) GEMM output, whose
     contiguous model-axis column shards straddle the Q/K/V thirds
-    instead of aligning with whole heads (a head-major qkv weight
-    permutation would fix this — see PERF.md for the vit7b design)."""
+    under the canonical layout. With the HEAD-MAJOR qkv weight
+    permutation (parallel.sharding.qkv_head_major, declared via
+    ``fused_attention_supported(head_major=...)``) each shard is a
+    canonical packed qkv for its heads and the fused kernels engage
+    per-shard too — the canonical-layout TP fallback remains only for
+    unpermuted checkpoints."""
     from vtp_tpu.parallel.mesh import MODEL_AXIS, SEQ_AXIS, mesh_axis_size
 
     mesh, n = _mesh_batch_shards()
@@ -206,12 +210,25 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
 
 
 def fused_attention_supported(qkv_shape, dtype, num_heads: int,
-                              qk_norm: bool = False) -> bool:
+                              qk_norm: bool = False,
+                              head_major: int = 1) -> bool:
     """(B, N, 3D) fused qkv+rope+attention kernel support check.
     bf16 uses DEFAULT-precision dots; fp32 (the decoder's parity mode)
     uses HIGHEST (6-pass, fp32-accurate). ``qk_norm`` accounts for the
     slab-norm arm's extra VMEM: the (D, D) block-diagonal stats matrix
-    plus fp32 (N, D) rsqrt/normalized intermediates."""
+    plus fp32 (N, D) rsqrt/normalized intermediates.
+
+    ``head_major`` declares the caller's qkv parameter layout: the TP
+    factor the packed qkv GEMM columns are permuted for
+    (``parallel.sharding.qkv_head_major`` — rank-major ``[Q_r|K_r|V_r]``
+    groups). Under a model-parallel mesh of exactly that size each
+    model shard's contiguous column chunk is itself a canonical packed
+    qkv for ``H / model`` heads, so the kernel engages per-shard over
+    ``(data, model)`` with zero extra collectives. Any other
+    combination — permuted weights without the matching mesh, or a
+    model axis over canonical (``head_major == 1``) weights, whose
+    contiguous column shards straddle the Q/K/V thirds — falls back to
+    the XLA path."""
     if dtype == jnp.bfloat16:
         itemsize = 2
     elif dtype == jnp.float32:
@@ -225,20 +242,37 @@ def fused_attention_supported(qkv_shape, dtype, num_heads: int,
         return False
     if not (2 <= N <= _MAX_SEQ_FULL):
         return False
-    if not _mesh_ok(B):
-        return False
-    vmem = (qkv_shape[1] * three_d * itemsize) * 2 + 2 * N * N * 4
+    m = _mesh_model_size()
+    if m > 1:
+        # model-parallel mesh: engage only with the matching head-major
+        # weight layout and a clean per-shard head count
+        if head_major != m or num_heads % m:
+            return False
+        if not _mesh_ok(B, heads=num_heads):
+            return False
+    else:
+        if head_major > 1:
+            # permuted weights without the matching mesh: the packed
+            # layout is rank-grouped, not [Q|K|V] — XLA split handles it
+            return False
+        if not _mesh_ok(B):
+            return False
+    shards = m if m > 1 else 1
+    Dl, three_dl = D // shards, three_d // shards
+    vmem = (N * three_dl * itemsize) * 2 + 2 * N * N * 4
     if qk_norm:
-        vmem += D * D * itemsize + 4 * N * D * 4
+        vmem += Dl * Dl * itemsize + 4 * N * Dl * 4
     return vmem < 12 * 1024 * 1024
 
 
-def _fused_bwd_qk_norm_fits(qkv_shape) -> bool:
+def _fused_bwd_qk_norm_fits(qkv_shape, head_shards: int = 1) -> bool:
     """VMEM gate for the qk-norm backward arm: on top of the plain
     backward's footprint it holds the (D, D) block-diagonal stats
     matrix plus ~4 fp32 (N, D) norm intermediates (r/n/dn/t per slab,
-    liveness-overlapped). Falls back to the recompute VJP above it."""
+    liveness-overlapped). Falls back to the recompute VJP above it.
+    Per-shard sizes under head-major model sharding (``head_shards``)."""
     _, N, three_d = qkv_shape
+    three_d //= head_shards
     D = three_d // 3
     vmem = (N * three_d * 2) * 2 + 2 * N * N * 4 \
         + D * D * 2 + 6 * N * D * 4
@@ -246,19 +280,33 @@ def _fused_bwd_qk_norm_fits(qkv_shape) -> bool:
 
 
 def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int,
-                          n_valid: int = 0, is_causal: bool = False):
+                          n_valid: int = 0, is_causal: bool = False,
+                          head_shards: int = 1):
     """Pure-JAX composition matching the fused kernel's math — used as
     the differentiation rule (custom_vjp backward) since Mosaic's
     lane-roll has no VJP. Recomputes the forward; a dedicated backward
     kernel is future work. ``n_valid`` masks padded key columns (token
-    rows beyond the real sequence exist only for sublane alignment)."""
+    rows beyond the real sequence exist only for sublane alignment).
+    ``head_shards``: the head-major TP layout factor of the packed qkv
+    columns (rank-major groups; parallel.sharding.qkv_head_major) —
+    the split below regroups them to the canonical head order, which
+    GSPMD keeps model-sharded on the head dim."""
     B, N, three_d = qkv.shape
     D = three_d // 3
     H = num_heads
     d = D // H
-    q = qkv[..., :D].reshape(B, N, H, d)
-    k = qkv[..., D:2 * D].reshape(B, N, H, d)
-    v = qkv[..., 2 * D:].reshape(B, N, H, d)
+    if head_shards > 1:
+        dl = D // head_shards
+        grp = qkv.reshape(B, N, head_shards, 3 * dl)
+        take = lambda lo, hi: jax.lax.slice_in_dim(
+            grp, lo, hi, axis=-1).reshape(B, N, D).reshape(B, N, H, d)
+        q = take(0, dl)
+        k = take(dl, 2 * dl)
+        v = take(2 * dl, 3 * dl)
+    else:
+        q = qkv[..., :D].reshape(B, N, H, d)
+        k = qkv[..., D:2 * D].reshape(B, N, H, d)
+        v = qkv[..., 2 * D:].reshape(B, N, H, d)
     if q_scale is not None:
         from vtp_tpu.ops.norms import rms_norm
 
@@ -288,11 +336,12 @@ def _fused_reference_impl(qkv, sin, cos, q_scale, k_scale, num_heads: int,
 
 @functools.lru_cache(maxsize=None)
 def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False,
-                    fp32_precision: str = "float32"):
+                    fp32_precision: str = "float32", head_shards: int = 1):
     def fwd_only(qkv, sin, cos, q_scale, k_scale):
         return _fused_kernel_call(qkv, sin, cos, num_heads, q_scale, k_scale,
                                   n_valid=n_valid, is_causal=is_causal,
-                                  fp32_precision=fp32_precision)
+                                  fp32_precision=fp32_precision,
+                                  head_shards=head_shards)
 
     f = jax.custom_vjp(fwd_only)
 
@@ -311,15 +360,17 @@ def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False,
             # the reference (embeddings.py:124-128) — the recompute VJP
             # used to leak real gradients into them.
             d_qkv = _fused_bwd_kernel_call(qkv, g, sin, cos, num_heads,
-                                           n_valid=n_valid, is_causal=is_causal)
+                                           n_valid=n_valid, is_causal=is_causal,
+                                           head_shards=head_shards)
             return d_qkv, zt(sin), zt(cos), None, None
         if (use_kernel and q_scale is not None
-                and _fused_bwd_qk_norm_fits(qkv.shape)):
+                and _fused_bwd_qk_norm_fits(qkv.shape, head_shards)):
             # qk-norm arm (the DiT training path): same kernel, plus
             # in-kernel RMSNorm adjoint and per-batch scale-grad rows
             d_qkv, dws = _fused_bwd_kernel_call(
                 qkv, g, sin, cos, num_heads, q_scale, k_scale,
-                n_valid=n_valid, is_causal=is_causal)
+                n_valid=n_valid, is_causal=is_causal,
+                head_shards=head_shards)
             d = q_scale.shape[0]
             dwq = dws[:, 0, :].sum(0).reshape(num_heads, d).sum(0)
             dwk = dws[:, 1, :].sum(0).reshape(num_heads, d).sum(0)
@@ -327,7 +378,8 @@ def _fused_with_vjp(num_heads: int, n_valid: int, is_causal: bool = False,
                     dwq.astype(q_scale.dtype), dwk.astype(k_scale.dtype))
         _, vjp = jax.vjp(
             lambda *a: _fused_reference_impl(
-                *a, num_heads=num_heads, n_valid=n_valid, is_causal=is_causal
+                *a, num_heads=num_heads, n_valid=n_valid, is_causal=is_causal,
+                head_shards=head_shards,
             ),
             *res,
         )
@@ -351,15 +403,20 @@ def fused_qkv_rope_attention(
     n_valid: int = 0,
     is_causal: bool = False,
     fp32_precision: str = "float32",
+    head_shards: int = 1,
 ) -> jax.Array:
     """Differentiable wrapper: Pallas kernel forward, pure-JAX VJP.
     ``n_valid`` (static) masks trailing padded key columns; ``is_causal``
     applies in-kernel causal masking (the text tower's mask,
     text_transformer.py:334-338, without materializing it);
     ``fp32_precision`` selects the fp32 dot mode ('float32' = 6-pass
-    exact, 'high' = 3-pass) to match the ambient XLA matmul precision."""
+    exact, 'high' = 3-pass) to match the ambient XLA matmul precision.
+    ``head_shards`` (static): the head-major TP layout factor of the
+    qkv columns — must equal the ambient mesh's model-axis size when
+    > 1 (gate with :func:`fused_attention_supported`); forward and both
+    backward kernels then run per-shard over ``(data, model)``."""
     return _fused_with_vjp(num_heads, int(n_valid), bool(is_causal),
-                           str(fp32_precision))(
+                           str(fp32_precision), int(head_shards))(
         qkv, sin, cos, q_scale, k_scale)
 
 
@@ -371,6 +428,7 @@ def _fused_kernel_call(
     n_valid: int = 0,        # mask key columns >= n_valid (0 = all valid)
     is_causal: bool = False,
     fp32_precision: str = "float32",  # fp32 dot mode: float32 | high
+    head_shards: int = 1,    # head-major TP layout factor (= model axis)
 ) -> jax.Array:
     """Fused qkv-split + (optional qk-RMSNorm) + RoPE + flash attention.
 
@@ -388,9 +446,18 @@ def _fused_kernel_call(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # Per-SHARD sizes: under head-major TP (head_shards = model-axis
+    # size) each model shard's contiguous qkv column chunk is a
+    # canonical packed qkv for H/shards heads, so the whole kernel body
+    # and its specs are built local and dispatched over (data, model).
     B, N, three_d = qkv.shape
+    if head_shards > 1 and _mesh_model_size() != head_shards:
+        raise ValueError(
+            f"head_shards={head_shards} requires an ambient mesh with a "
+            f"model axis of exactly that size (got {_mesh_model_size()})")
+    three_d //= head_shards
     D = three_d // 3
-    H = num_heads
+    H = num_heads // head_shards
     d = D // H
     scale = d**-0.5
     use_rope = sin is not None
@@ -567,7 +634,8 @@ def _fused_kernel_call(
         )(*arrays)
 
     batched = [True] + [False] * (len(inputs) - 1)  # qkv only
-    return _dispatch_sharded(_impl, inputs, batched, out_ranks=[3])
+    return _dispatch_sharded(_impl, inputs, batched, out_ranks=[3],
+                             head_axis=2 if head_shards > 1 else None)
 
 
 def _fused_bwd_kernel_call(
@@ -578,6 +646,7 @@ def _fused_bwd_kernel_call(
     q_scale=None, k_scale=None,  # optional per-head-dim RMS-norm scales (d,)
     n_valid: int = 0,
     is_causal: bool = False,
+    head_shards: int = 1,    # head-major TP layout factor (= model axis)
 ):
     """Dedicated flash-attention backward: one grid step per batch row
     recomputes the (optionally qk-normed and) roped q/k and the softmax
@@ -612,9 +681,15 @@ def _fused_bwd_kernel_call(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    # per-SHARD sizes under head-major TP (see _fused_kernel_call)
     B, N, three_d = qkv.shape
+    if head_shards > 1 and _mesh_model_size() != head_shards:
+        raise ValueError(
+            f"head_shards={head_shards} requires an ambient mesh with a "
+            f"model axis of exactly that size (got {_mesh_model_size()})")
+    three_d //= head_shards
     D = three_d // 3
-    H = num_heads
+    H = num_heads // head_shards
     d = D // H
     scale = d**-0.5
     use_rope = sin is not None
@@ -853,7 +928,8 @@ def _fused_bwd_kernel_call(
 
     batched = [True, True] + [False] * (len(inputs) - 2)  # qkv, g
     out_ranks = [3, 3] if use_qk_norm else [3]
-    return _dispatch_sharded(_impl, inputs, batched, out_ranks=out_ranks)
+    return _dispatch_sharded(_impl, inputs, batched, out_ranks=out_ranks,
+                             head_axis=2 if head_shards > 1 else None)
 
 
 def flash_supported_bnhd(q, k, v) -> bool:

@@ -180,6 +180,75 @@ def constrain_residual(x: Any, token_axis: int = 0) -> Any:
     return maybe_constrain(x, *spec)
 
 
+# ------------------------------------------- head-major TP qkv layout
+#
+# The train hot path's fused qkv+rope+attention kernel
+# (ops/flash_attention.py) consumes the packed (B, N, [Q|K|V]) qkv GEMM
+# output. GSPMD column-shards that GEMM over ``model`` in contiguous
+# chunks, which straddle the Q/K/V thirds (rank 0 of a 2-way mesh holds
+# [all of Q | first half of K]) — so under canonical weights the fused
+# kernels must fall back to XLA under TP (measured +47% step time,
+# PERF.md round 5). The fix is a PARAMETER layout, not a collective:
+# permute the qkv output columns from [Q|K|V] (head h at h*d within
+# each third) into ``tp`` rank-major groups [Q_r|K_r|V_r] — then each
+# rank's contiguous column shard is itself a canonical packed qkv for
+# its H/tp heads, the GEMM emits every rank's microlayout directly,
+# and the fused kernels engage per-shard with ZERO extra collectives.
+# Rank r holds the contiguous heads [r*H/tp, (r+1)*H/tp), so the
+# attention OUTPUT feature order stays canonical and the row-parallel
+# out-projection needs no change. Consumers declare the layout via
+# ``BlockConfig.qkv_head_major`` (models/blocks.py).
+
+
+def qkv_head_major(w: Any, num_heads: int, tp: int, *,
+                   inverse: bool = False) -> Any:
+    """Permute packed-qkv output columns between the canonical [Q|K|V]
+    layout and the ``tp``-rank-major head-aligned layout (see above).
+
+    Works on kernels ``(..., in_dim, 3D)`` and biases ``(..., 3D)`` —
+    the permutation acts on the last (packed feature) dim, so stacked
+    (depth, ...) block parameters pass through unchanged elsewhere.
+    ``inverse=True`` maps head-major back to canonical (export /
+    checkpoint canonicalization)."""
+    if tp <= 1:
+        return w
+    c = int(w.shape[-1])
+    D = c // 3
+    if 3 * D != c or D % num_heads or num_heads % tp:
+        raise ValueError(
+            f"qkv feature dim {c} not permutable: needs 3*H*d columns "
+            f"with num_heads={num_heads} divisible by tp={tp}")
+    lead = w.shape[:-1]
+    if inverse:
+        t = w.reshape(*lead, tp, 3, D // tp).swapaxes(-3, -2)
+    else:
+        t = w.reshape(*lead, 3, tp, D // tp).swapaxes(-3, -2)
+    return t.reshape(*lead, c)
+
+
+def permute_trunk_qkv(trunk: dict, num_heads: int, tp: int, *,
+                      inverse: bool = False) -> dict:
+    """Copy of a ViT trunk param tree (models/vit.init_vit_params) with
+    the stacked blocks' qkv kernel+bias permuted to (``inverse=False``)
+    or from (``inverse=True``) the head-major TP layout. Every other
+    leaf is shared, not copied."""
+    if tp <= 1:
+        return trunk
+    trunk = dict(trunk)
+    blocks = dict(trunk["blocks"])
+    attn = dict(blocks["attn"])
+    qkv = dict(attn["qkv"])
+    qkv["kernel"] = qkv_head_major(qkv["kernel"], num_heads, tp,
+                                   inverse=inverse)
+    if qkv.get("bias") is not None:
+        qkv["bias"] = qkv_head_major(qkv["bias"], num_heads, tp,
+                                     inverse=inverse)
+    attn["qkv"] = qkv
+    blocks["attn"] = attn
+    trunk["blocks"] = blocks
+    return trunk
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS, *((None,) * (ndim - 1))))

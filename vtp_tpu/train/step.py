@@ -122,6 +122,17 @@ class TrainConfig:
     # parallel/pipeline.maybe_pipeline_blocks), and falls back to the
     # sequential scan per tower otherwise.
     pipeline_stages: int = 1
+    # head-major TP qkv layout factor (must equal the mesh's model-axis
+    # size; vision_num_heads % it == 0): init permutes the trunk's qkv
+    # parameters into rank-major [Q_r|K_r|V_r] column groups
+    # (parallel.sharding.qkv_head_major) so each model shard's qkv GEMM
+    # output is a canonical packed qkv for its heads and the fused
+    # Pallas attention kernels (fwd + bwd) engage per-shard under
+    # tensor parallelism instead of falling back to XLA (+47% step
+    # time, PERF.md round 5). Math is mesh-independent; checkpoints
+    # saved with this layout must be restored with the same value (or
+    # canonicalized via permute_trunk_qkv(inverse=True) for export).
+    tp_head_major: int = 1
     # gradient accumulation: when > 1, every batch leaf must carry a
     # leading (accum_steps,) microbatch axis (tree-stack accum_steps
     # microbatches); grads are averaged across microbatches before one
@@ -168,6 +179,11 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 def init_train_params(key: jax.Array, cfg: VTPConfig, tcfg: TrainConfig) -> dict:
     k1, k2 = jax.random.split(key)
     params = init_vtp_params(k1, cfg)
+    if tcfg.tp_head_major > 1:
+        from vtp_tpu.parallel.sharding import permute_trunk_qkv
+
+        params["trunk"] = permute_trunk_qkv(
+            params["trunk"], cfg.vision_num_heads, tcfg.tp_head_major)
     if tcfg.train_ssl:
         in_dim = (
             cfg.vision_embed_dim if cfg.vision_bottleneck_ae_only
@@ -250,6 +266,12 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
       ssl: dict from make_ssl_batch-compatible pipeline
     """
     vcfg = vit_config_from(cfg)
+    if tcfg.tp_head_major > 1:
+        if cfg.vision_num_heads % tcfg.tp_head_major:
+            raise ValueError(
+                f"tp_head_major={tcfg.tp_head_major} must divide "
+                f"vision_num_heads={cfg.vision_num_heads}")
+        vcfg = dataclasses.replace(vcfg, qkv_head_major=tcfg.tp_head_major)
     dcfg = decoder_config_from(cfg)
     txtcfg = text_config_from(cfg)
     hcfg = _dino_head_cfg(cfg, tcfg)
