@@ -58,6 +58,23 @@ FP32_EMULATION_PASSES = 6  # 'float32' matmul precision = 6-pass bf16
 
 _T0 = time.monotonic()
 LEG_BUDGET_S = float(os.environ.get("BENCH_LEG_BUDGET_S", "420"))
+# dispatches chained on-device per host fetch: a tunnel fetch costs
+# ~25-30 ms RTT, so walls are taken per GROUP and divided (min over
+# groups still excises grant wedges). Groups are sized to ~this many
+# seconds of chained work, bounding the RTT share of every wall sample
+# to ~2.5% regardless of step duration.
+_GROUP_TARGET_S = float(os.environ.get("BENCH_GROUP_TARGET_S", "2.0"))
+
+
+def _group_size(walls, remaining: int) -> int:
+    """Next group size: 1 to probe (first sample pays the RTT), then
+    ~_GROUP_TARGET_S worth of chained dispatches."""
+    if not walls:
+        return 1
+    import math as _math
+
+    est = max(min(walls), 1e-3)
+    return max(1, min(remaining, _math.ceil(_GROUP_TARGET_S / est)))
 TOTAL_BUDGET_S = float(os.environ.get("BENCH_TOTAL_BUDGET_S", "2700"))
 
 
@@ -220,9 +237,11 @@ def measure_train(*, preset: str, batch: int, iters: int, ssl: bool,
     by BENCH_MODE=train and the train section of the default bench).
     ``accum > 1`` drives host-side microbatch accumulation (one
     optimizer step per ``accum`` microbatches, bf16 accumulator) and
-    counts the FULL global batch per step. Per-iteration walls with a
-    host fetch per step; the reported rate uses the MIN wall and the
-    loop stops early once the leg budget is spent (>= 2 clean iters)."""
+    counts the FULL global batch per step. Walls are taken per group of
+    chained steps with one host fetch at the group end (_group_size —
+    the tunnel fetch RTT is ~25-30 ms); the reported rate uses the MIN
+    per-step wall and the loop stops early once the leg budget is spent
+    (>= 2 clean wall samples)."""
     from vtp_tpu.train.step import (
         TrainConfig, build_train_step, init_state, make_ssl_batch,
         run_host_accum_step,
@@ -273,16 +292,27 @@ def measure_train(*, preset: str, batch: int, iters: int, ssl: bool,
     state, metrics = run(state, jax.random.key(2))
     _ = float(metrics["loss/total"])
     _hb(f"train/{preset}/{name} compile+first: {time.perf_counter() - t0:.1f}s")
+    # walls per GROUP of steps with one loss fetch at the group end (a
+    # tunnel fetch costs ~25-30 ms RTT — per-step fetching taxed the
+    # 153 ms vtp-base step ~17% vs the round-3 artifact); steps chain
+    # through the donated state on device, per-step PRNG keys keep the
+    # tunnel dedup cache from collapsing the dispatches
     walls = []
-    for i in range(iters):
+    i = 0
+    while i < iters:
+        g = _group_size(walls, iters - i)
         t0 = time.perf_counter()
-        state, metrics = run(state, jax.random.key(3 + i))
-        _ = float(metrics["loss/total"])  # host fetch = per-iter sync
-        walls.append(time.perf_counter() - t0)
-        _hb(f"train/{preset}/{name} iter {i + 1}/{iters}: {walls[-1]*1e3:.1f} ms")
+        for j in range(g):
+            state, metrics = run(state, jax.random.key(3 + i + j))
+        _ = float(metrics["loss/total"])  # host fetch = group sync
+        wall = (time.perf_counter() - t0) / g
+        walls.append(wall)
+        i += g
+        _hb(f"train/{preset}/{name} iter {i}/{iters}: {wall*1e3:.1f} "
+            f"ms/step (group of {g})")
         if len(walls) >= 2 and time.monotonic() - leg_t0 > leg_budget_s:
             _hb(f"train/{preset}/{name}: leg budget {leg_budget_s:.0f}s spent "
-                f"after {len(walls)} iters — stopping early")
+                f"after {i} iters — stopping early")
             break
     sol = train_sol_imgs_per_sec(cfg, remat=remat, ssl=ssl)
     mw = _min_wall_rate(walls, batch * max(accum, 1))
@@ -418,13 +448,21 @@ def measure_dit(*, batch: int, iters: int, accum: int,
     state, metrics = run(state, jax.random.key(3))
     _ = float(metrics["loss/transport"])
     _hb(f"train/DiT-XL compile+first: {time.perf_counter() - t0:.1f}s")
+    # group-chained walls (see _group_size): one loss fetch per ~1 s of
+    # chained steps bounds the ~25-30 ms tunnel-fetch RTT share
     walls = []
-    for i in range(iters):
+    i = 0
+    while i < iters:
+        g = _group_size(walls, iters - i)
         t0 = time.perf_counter()
-        state, metrics = run(state, jax.random.key(4 + i))
+        for j in range(g):
+            state, metrics = run(state, jax.random.key(4 + i + j))
         _ = float(metrics["loss/transport"])
-        walls.append(time.perf_counter() - t0)
-        _hb(f"train/DiT-XL iter {i + 1}/{iters}: {walls[-1]*1e3:.1f} ms")
+        wall = (time.perf_counter() - t0) / g
+        walls.append(wall)
+        i += g
+        _hb(f"train/DiT-XL iter {i}/{iters}: {wall*1e3:.1f} ms/step "
+            f"(group of {g})")
         if len(walls) >= 2 and time.monotonic() - leg_t0 > leg_budget_s:
             _hb(f"train/DiT-XL: leg budget {leg_budget_s:.0f}s spent — "
                 "stopping early")
@@ -547,19 +585,33 @@ def main() -> None:
             f"{time.perf_counter() - t0:.1f}s")
         _ = float(tap(jfn(params, x, zero)))  # warm steady-state
 
+        # Walls are taken per GROUP of chained dispatches with ONE host
+        # fetch at the group end: a fetch through the tunnel costs
+        # ~25-30 ms RTT (measured: the per-iteration-fetch harness
+        # inflated every leg by exactly that vs the round-3 artifact),
+        # so per-iteration fetching would tax a 130 ms roundtrip ~20%.
+        # Within a group the carry chains ON DEVICE (tap returns a
+        # device scalar — each dispatch gets a fresh buffer, which keeps
+        # the tunnel's dedup cache from collapsing them); min over
+        # groups still excises grant wedges, group-granular.
         walls = []
         carry = zero
-        for i in range(iters):
+        done = 0
+        while done < iters:
+            g = _group_size(walls, iters - done)
             t0 = time.perf_counter()
-            out = jfn(params, x, carry)
-            carry = float(tap(out))  # host fetch = real synchronization
-            walls.append(time.perf_counter() - t0)
-            if (i + 1) % 5 == 0 or walls[-1] > 2.0:
-                _hb(f"{mode} dp={decode_precision} iter {i + 1}/{iters}: "
-                    f"{walls[-1]*1e3:.1f} ms")
+            for _i in range(g):
+                out = jfn(params, x, carry)
+                carry = tap(out)  # device scalar: chain, don't sync
+            _ = float(carry)  # host fetch = group sync (carry stays on device)
+            wall = (time.perf_counter() - t0) / g
+            walls.append(wall)  # one per-iteration wall sample per group
+            done += g
+            _hb(f"{mode} dp={decode_precision} iter {done}/{iters}: "
+                f"{wall*1e3:.1f} ms/iter (group of {g})")
             if len(walls) >= 2 and time.monotonic() - leg_t0 > LEG_BUDGET_S:
                 _hb(f"{mode} dp={decode_precision}: leg budget spent after "
-                    f"{len(walls)} iters — stopping early")
+                    f"{done} iters — stopping early")
                 break
         return _min_wall_rate(walls, batch)
 

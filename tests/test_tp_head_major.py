@@ -236,6 +236,97 @@ def test_attention_apply_head_major_parity(rng, mask_k_bias, use_qk_norm):
     )
 
 
+def test_config_declares_layout_and_init_follows(rng):
+    """vision_qkv_head_major is a self-describing checkpoint layout tag:
+    it round-trips through the config json and init_vtp_params emits
+    params in the declared layout (exact permutation of the canonical
+    init for the same key)."""
+    from tests.test_cp_train import TINY
+    from vtp_tpu.config import VTPConfig
+    from vtp_tpu.models.vtp_model import init_vtp_params
+
+    cfg_hm = dataclasses.replace(TINY, vision_qkv_head_major=2)
+    back = VTPConfig.from_dict(cfg_hm.to_dict())
+    assert back.vision_qkv_head_major == 2
+
+    p_can = init_vtp_params(jax.random.key(0), TINY)
+    p_hm = init_vtp_params(jax.random.key(0), cfg_hm)
+    np.testing.assert_array_equal(
+        np.asarray(p_hm["trunk"]["blocks"]["attn"]["qkv"]["kernel"]),
+        np.asarray(qkv_head_major(
+            p_can["trunk"]["blocks"]["attn"]["qkv"]["kernel"],
+            TINY.vision_num_heads, 2)),
+    )
+    # every other leaf untouched
+    np.testing.assert_array_equal(
+        np.asarray(p_hm["trunk"]["blocks"]["attn"]["proj"]["kernel"]),
+        np.asarray(p_can["trunk"]["blocks"]["attn"]["proj"]["kernel"]),
+    )
+
+
+def test_export_canonicalizes_layout():
+    """Exported HF/torch state dicts are ALWAYS canonical [Q|K|V]:
+    exporting a head-major checkpoint must produce the bit-identical
+    state dict of its canonical twin."""
+    from tests.test_cp_train import TINY
+    from vtp_tpu.convert.to_torch import export_state_dict
+    from vtp_tpu.models.vtp_model import init_vtp_params
+
+    cfg_hm = dataclasses.replace(TINY, vision_qkv_head_major=2)
+    sd_can = export_state_dict(init_vtp_params(jax.random.key(0), TINY), TINY)
+    sd_hm = export_state_dict(init_vtp_params(jax.random.key(0), cfg_hm), cfg_hm)
+    assert set(sd_can) == set(sd_hm)
+    for k in sd_can:
+        np.testing.assert_array_equal(sd_can[k], sd_hm[k], err_msg=k)
+
+
+def test_pure_fn_parity_under_config_layout(rng):
+    """The public pure functions honor the config's layout tag: encode
+    with head-major params + tagged config under a (data, model) mesh ==
+    the canonical encode single-device."""
+    from tests.test_cp_train import TINY
+    from vtp_tpu.models.vtp_model import (
+        get_reconstruction_latents, init_vtp_params,
+    )
+
+    cfg_hm = dataclasses.replace(TINY, vision_qkv_head_major=2)
+    p_can = init_vtp_params(jax.random.key(0), TINY)
+    p_hm = init_vtp_params(jax.random.key(0), cfg_hm)
+    img = jnp.asarray(rng.standard_normal((8, 3, 32, 32)), jnp.float32)
+
+    want = jax.jit(lambda p, x: get_reconstruction_latents(p, TINY, x))(p_can, img)
+    mesh = make_mesh(4, 2)
+    with jax.set_mesh(mesh):
+        got = jax.jit(lambda p, x: get_reconstruction_latents(p, cfg_hm, x))(p_hm, img)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=3e-2, rtol=3e-2,
+    )
+
+
+def test_serve_tp_head_major(rng):
+    """VTPServer(mesh=(data, model), tp_head_major=True) permutes the
+    loaded canonical trunk, tags the config, and serves the same
+    latents as the single-device model."""
+    from tests.test_serve import TINY as STINY
+    from vtp_tpu.models.vtp_model import VTPModel
+    from vtp_tpu.serve import VTPServer
+
+    model_ref = VTPModel.init(jax.random.key(0), STINY, encode_dtype=None)
+    img = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    want = np.asarray(model_ref.get_reconstruction_latents(img))
+
+    model_tp = VTPModel.init(jax.random.key(0), STINY, encode_dtype=None)
+    srv = VTPServer(model_tp, batch_size=4, max_wait_ms=20, warmup=False,
+                    mesh=make_mesh(4, 2), tp_head_major=True)
+    try:
+        assert model_tp.config.vision_qkv_head_major == 2
+        got = srv.submit_encode(img).result(timeout=300)
+    finally:
+        srv.shutdown()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_train_step_tp_head_major(kernels):
     """Full CLIP+rec train step with TrainConfig.tp_head_major under a
     (data, model) mesh: loss and grad norm match the canonical

@@ -47,6 +47,13 @@ class VTPConfig:
     vision_mask_k_bias: bool = False
     vision_untie_cls_and_patch_norms: bool = False
     vision_untie_global_and_local_cls_norm: bool = False
+    # Layout tag, not an architecture knob: the head-major TP factor
+    # the trunk's packed qkv parameter columns are permuted for
+    # (parallel.sharding.qkv_head_major; 1 = canonical [Q|K|V]). Math
+    # is identical under any mesh; under a model mesh of exactly this
+    # size the fused Pallas attention kernels engage per-shard. Travels
+    # with exported configs so checkpoints stay self-describing.
+    vision_qkv_head_major: int = 1
 
     # RoPE (shared defaults between trunk and decoder; reference
     # embeddings.py:86-195)

@@ -79,8 +79,15 @@ def _blocks_out(sd: Dict[str, Array], prefix: str, stacked: dict, depth: int) ->
 def export_state_dict(params: dict, cfg: VTPConfig) -> Dict[str, Array]:
     sd: Dict[str, Array] = {}
 
-    # trunk
+    # trunk — exported state dicts are ALWAYS canonical [Q|K|V]: undo
+    # the head-major TP layout if this checkpoint carries it
+    # (parallel.sharding.qkv_head_major; cfg.vision_qkv_head_major)
     t = params["trunk"]
+    if cfg.vision_qkv_head_major > 1:
+        from vtp_tpu.parallel.sharding import permute_trunk_qkv
+
+        t = permute_trunk_qkv(t, cfg.vision_num_heads,
+                              cfg.vision_qkv_head_major, inverse=True)
     pk = cfg.vision_patch_size
     w = np.asarray(t["patch_embed"]["kernel"], np.float32)  # (C*p*p, D)
     sd["trunk.patch_embed.proj.weight"] = np.ascontiguousarray(
@@ -159,6 +166,9 @@ def save_hf_checkpoint(path: str, params: dict, cfg: VTPConfig) -> None:
 
     os.makedirs(path, exist_ok=True)
     hf_cfg = {"model_type": "vtp", **cfg.to_dict()}
+    # export_state_dict canonicalizes the head-major TP qkv layout, so
+    # the exported config must not claim it
+    hf_cfg["vision_qkv_head_major"] = 1
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(hf_cfg, f, indent=2)
     save_file(export_state_dict(params, cfg), os.path.join(path, "model.safetensors"))

@@ -73,6 +73,7 @@ def vit_config_from(cfg: VTPConfig) -> ViTConfig:
         rope_jitter_coords=cfg.rope_jitter_coords,
         rope_rescale_coords=cfg.rope_rescale_coords,
         rope_dtype=cfg.rope_dtype,
+        qkv_head_major=cfg.vision_qkv_head_major,
     )
 
 
@@ -124,6 +125,14 @@ def text_config_from(cfg: VTPConfig) -> TextConfig:
 def init_vtp_params(key: jax.Array, cfg: VTPConfig) -> dict:
     k = jax.random.split(key, 5)
     params: dict = {"trunk": init_vit_params(k[0], vit_config_from(cfg))}
+    if cfg.vision_qkv_head_major > 1:
+        # params follow the config's declared layout: canonical init,
+        # then the head-major column permutation (so a head-major init
+        # is the exact permutation of the canonical init for the same key)
+        from vtp_tpu.parallel.sharding import permute_trunk_qkv
+
+        params["trunk"] = permute_trunk_qkv(
+            params["trunk"], cfg.vision_num_heads, cfg.vision_qkv_head_major)
     if cfg.train_clip:
         proj_in = (
             cfg.vision_embed_dim if cfg.vision_bottleneck_ae_only

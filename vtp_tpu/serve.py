@@ -57,13 +57,20 @@ class VTPServer:
         max_wait_ms: float = 5.0,
         warmup: bool = True,
         mesh=None,
+        tp_head_major: bool = False,
     ):
         self.model = model
         self.batch_size = batch_size
         self.mesh = mesh
         if mesh is not None:
-            from vtp_tpu.parallel.mesh import DATA_AXIS, mesh_axis_size
-            from vtp_tpu.parallel.sharding import shard_params
+            import dataclasses as _dc
+
+            from vtp_tpu.parallel.mesh import (
+                DATA_AXIS, MODEL_AXIS, mesh_axis_size,
+            )
+            from vtp_tpu.parallel.sharding import (
+                permute_trunk_qkv, shard_params,
+            )
 
             n_data = mesh_axis_size(mesh, DATA_AXIS)
             if batch_size % max(n_data, 1):
@@ -71,6 +78,33 @@ class VTPServer:
                     f"batch_size {batch_size} must divide over the mesh "
                     f"data axis ({n_data} shards)"
                 )
+            if tp_head_major:
+                # head-major TP layout (parallel.sharding.qkv_head_major):
+                # the fused attention kernels engage per model shard
+                # instead of the XLA fallback (+47% — PERF.md round 5).
+                # Permute the loaded canonical trunk and tag the config;
+                # must happen BEFORE shard_params and any jit.
+                n_model = mesh_axis_size(mesh, MODEL_AXIS)
+                heads = model.config.vision_num_heads
+                if n_model <= 1:
+                    raise ValueError("tp_head_major needs a model axis > 1")
+                if heads % n_model:
+                    raise ValueError(
+                        f"tp_head_major: vision_num_heads {heads} % model "
+                        f"axis {n_model} != 0")
+                if model.config.vision_qkv_head_major == 1:
+                    model.params = dict(
+                        model.params,
+                        trunk=permute_trunk_qkv(
+                            model.params["trunk"], heads, n_model),
+                    )
+                    model.config = _dc.replace(
+                        model.config, vision_qkv_head_major=n_model)
+                elif model.config.vision_qkv_head_major != n_model:
+                    raise ValueError(
+                        f"checkpoint layout vision_qkv_head_major="
+                        f"{model.config.vision_qkv_head_major} does not "
+                        f"match the mesh model axis {n_model}")
             model.params = shard_params(model.params, mesh)
         self.max_wait = max_wait_ms / 1000.0
         self._stop = threading.Event()

@@ -179,7 +179,10 @@ def make_optimizer(tcfg: TrainConfig) -> optax.GradientTransformation:
 def init_train_params(key: jax.Array, cfg: VTPConfig, tcfg: TrainConfig) -> dict:
     k1, k2 = jax.random.split(key)
     params = init_vtp_params(k1, cfg)
-    if tcfg.tp_head_major > 1:
+    if tcfg.tp_head_major > 1 and cfg.vision_qkv_head_major == 1:
+        # the model config is canonical and the TRAIN config asks for
+        # the head-major TP layout: permute here (init_vtp_params
+        # already permuted if the config itself declared the layout)
         from vtp_tpu.parallel.sharding import permute_trunk_qkv
 
         params["trunk"] = permute_trunk_qkv(
@@ -265,12 +268,17 @@ def build_train_step(cfg: VTPConfig, tcfg: TrainConfig):
       rec_image (B,3,H,W): reconstruction target
       ssl: dict from make_ssl_batch-compatible pipeline
     """
-    vcfg = vit_config_from(cfg)
+    vcfg = vit_config_from(cfg)  # carries cfg.vision_qkv_head_major
     if tcfg.tp_head_major > 1:
         if cfg.vision_num_heads % tcfg.tp_head_major:
             raise ValueError(
                 f"tp_head_major={tcfg.tp_head_major} must divide "
                 f"vision_num_heads={cfg.vision_num_heads}")
+        if cfg.vision_qkv_head_major not in (1, tcfg.tp_head_major):
+            raise ValueError(
+                f"tp_head_major={tcfg.tp_head_major} conflicts with the "
+                f"model config's declared layout "
+                f"vision_qkv_head_major={cfg.vision_qkv_head_major}")
         vcfg = dataclasses.replace(vcfg, qkv_head_major=tcfg.tp_head_major)
     dcfg = decoder_config_from(cfg)
     txtcfg = text_config_from(cfg)
