@@ -99,7 +99,9 @@ def parse_args(argv=None):
                    help="shard the attention token dim over a seq axis of "
                         "this size (ring/Ulysses context parallelism, "
                         "ops/ring_attention.py); composes with the data "
-                        "axis, incompatible with a model axis > 1")
+                        "axis AND a model axis (CP×TP: heads shard over "
+                        "model inside the CP arms when "
+                        "vision_num_heads %% model == 0)")
     p.add_argument("--cp_mode", default="auto",
                    choices=["auto", "ring", "ulysses"],
                    help="context-parallel arm preference (auto = Ulysses "
@@ -274,11 +276,16 @@ def main(argv=None) -> None:
     else:
         n_data, n_model = n_devices // max(n_seq, 1) // max(n_pipe, 1), 1
     if n_seq > 1 and n_model > 1:
-        raise SystemExit("--context_parallel needs model axis 1 "
-                         "(the seq axis shards tokens; TP shards heads)")
-    if n_seq > 1 and n_data * n_seq != n_devices:
-        raise SystemExit(f"--context_parallel {n_seq} x data {n_data} != "
-                         f"{n_devices} devices")
+        # CP×TP composes (round 5): heads shard over model inside the
+        # CP arms when the head count divides cleanly
+        if cfg.vision_num_heads % n_model:
+            raise SystemExit(
+                f"--context_parallel with a model axis needs "
+                f"vision_num_heads ({cfg.vision_num_heads}) % model "
+                f"({n_model}) == 0")
+    if n_seq > 1 and n_data * n_seq * n_model != n_devices:
+        raise SystemExit(f"--context_parallel {n_seq} x data {n_data} x "
+                         f"model {n_model} != {n_devices} devices")
     if n_pipe > 1:
         if n_model > 1 or n_seq > 1:
             raise SystemExit("--pipeline_parallel composes with the data "
@@ -345,7 +352,7 @@ def main(argv=None) -> None:
     if n_seq > 1:
         from vtp_tpu.parallel.mesh import make_cp_mesh
 
-        mesh = make_cp_mesh(n_seq, n_data, mode=args.cp_mode)
+        mesh = make_cp_mesh(n_seq, n_data, n_model, mode=args.cp_mode)
     elif n_pipe > 1:
         from vtp_tpu.parallel.pipeline import make_pp_mesh
 

@@ -100,16 +100,19 @@ def _ring_attention_local(
 
 def ring_supported(q: jax.Array, mesh, n_valid: int = 0) -> bool:
     """Whether (B, N, H, D) attention can ride the ring on ``mesh``:
-    a ``seq`` axis > 1, token dim divisible by it, no tensor parallelism
-    (TP shards the head dim over ``model`` — the ring shards tokens; the
-    two compose only at model=1 today), and batch divisible by any data
-    axis so the outer shard_map splits cleanly."""
+    a ``seq`` axis > 1, token dim divisible by it, and batch divisible
+    by any data axis so the outer shard_map splits cleanly. CP×TP
+    composes (round-5): under a ``model`` axis > 1 the HEAD dim shards
+    over it (heads are embarrassingly parallel — each (seq, model)
+    shard runs the ring over its head subset), requiring
+    ``H % model == 0``; the ppermute stays seq-only."""
     if mesh is None:
         return False
     n_seq = mesh_axis_size(mesh, SEQ_AXIS)
     if n_seq <= 1:
         return False
-    if mesh_axis_size(mesh, MODEL_AXIS) > 1:
+    n_model = mesh_axis_size(mesh, MODEL_AXIS)
+    if n_model > 1 and q.shape[2] % n_model:
         return False
     if q.shape[1] % n_seq:
         return False
@@ -121,6 +124,16 @@ def ring_supported(q: jax.Array, mesh, n_valid: int = 0) -> bool:
         # outside [0, N] is a caller bug — refuse rather than mask wrong
         return False
     return True
+
+
+def _cp_specs(q: jax.Array, mesh) -> P:
+    """shard_map PartitionSpec for the CP arms: batch over ``data``
+    (when divisible), tokens over ``seq``, heads over ``model`` (when
+    the mesh carries TP — the gates require clean divisibility)."""
+    n_data = mesh_axis_size(mesh, DATA_AXIS)
+    b_axis = DATA_AXIS if (n_data > 1 and q.shape[0] % n_data == 0) else None
+    h_axis = MODEL_AXIS if mesh_axis_size(mesh, MODEL_AXIS) > 1 else None
+    return P(b_axis, SEQ_AXIS, h_axis, None)
 
 
 def ring_attention_bnhd(
@@ -137,9 +150,7 @@ def ring_attention_bnhd(
     and tokens over ``seq``. Callers gate on :func:`ring_supported`."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    n_data = mesh_axis_size(mesh, DATA_AXIS)
-    b_axis = DATA_AXIS if (n_data > 1 and q.shape[0] % n_data == 0) else None
-    spec = P(b_axis, SEQ_AXIS, None, None)
+    spec = _cp_specs(q, mesh)
     body = partial(
         _ring_attention_local, axis=SEQ_AXIS, scale=scale, n_valid=n_valid
     )
@@ -187,11 +198,14 @@ def _ulysses_attention_local(
 
 
 def ulysses_supported(q: jax.Array, mesh, n_valid: int = 0) -> bool:
-    """Ulysses needs everything the ring needs PLUS the head count
-    divisible by the ``seq`` axis (heads re-shard over it)."""
-    return ring_supported(q, mesh, n_valid) and q.shape[2] % dict(
-        mesh.shape
-    )[SEQ_AXIS] == 0
+    """Ulysses needs everything the ring needs PLUS the PER-MODEL-SHARD
+    head count divisible by the ``seq`` axis (the in-body all-to-all
+    re-shards the local heads over it; under CP×TP each model shard
+    already holds H/model heads)."""
+    if not ring_supported(q, mesh, n_valid):
+        return False
+    h_local = q.shape[2] // max(mesh_axis_size(mesh, MODEL_AXIS), 1)
+    return h_local % dict(mesh.shape)[SEQ_AXIS] == 0
 
 
 def ulysses_attention_bnhd(
@@ -208,9 +222,7 @@ def ulysses_attention_bnhd(
     :func:`ulysses_supported`)."""
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    n_data = mesh_axis_size(mesh, DATA_AXIS)
-    b_axis = DATA_AXIS if (n_data > 1 and q.shape[0] % n_data == 0) else None
-    spec = P(b_axis, SEQ_AXIS, None, None)
+    spec = _cp_specs(q, mesh)
     body = partial(
         _ulysses_attention_local, axis=SEQ_AXIS, scale=scale, n_valid=n_valid
     )

@@ -103,26 +103,36 @@ def make_mesh(
 def make_cp_mesh(
     n_seq: int,
     n_data: int = 1,
+    n_model: int = 1,
     *,
     devices: Optional[Sequence[jax.Device]] = None,
     mode: Optional[str] = None,
 ) -> Mesh:
-    """Build a ``(data, seq)`` context-parallel mesh: batch over ``data``,
-    attention token dim over ``seq``. Under ``jax.set_mesh`` of such a
-    mesh the model forward dispatches its attention to a CP arm
-    automatically (models/blocks.sdpa_bnhd; ops/ring_attention.py).
+    """Build a ``(data, seq[, model])`` context-parallel mesh: batch over
+    ``data``, attention token dim over ``seq``, and — when
+    ``n_model > 1`` — attention heads (and the Megatron weight columns)
+    over ``model`` as well (CP×TP, round 5: requires ``heads % n_model
+    == 0``; Ulysses additionally ``(heads / n_model) % n_seq == 0``).
+    Under ``jax.set_mesh`` of such a mesh the model forward dispatches
+    its attention to a CP arm automatically (models/blocks.sdpa_bnhd;
+    ops/ring_attention.py).
 
     ``mode`` picks the arm: "auto" (default: Ulysses all-to-all when the
-    head count divides ``n_seq``, else the ppermute KV ring), "ring", or
-    "ulysses". The preference is registered for this mesh signature; if
-    it CHANGES an already-registered signature, the jax compilation
-    caches are cleared so previously-traced functions re-trace under the
-    new arm instead of silently keeping the old one."""
+    per-model-shard head count divides ``n_seq``, else the ppermute KV
+    ring), "ring", or "ulysses". The preference is registered for this
+    mesh signature; if it CHANGES an already-registered signature, the
+    jax compilation caches are cleared so previously-traced functions
+    re-trace under the new arm instead of silently keeping the old one."""
     devices = list(devices if devices is not None else jax.devices())
-    if n_data * n_seq != len(devices):
-        raise ValueError(f"mesh {n_data}x{n_seq} != {len(devices)} devices")
-    arr = np.asarray(devices).reshape(n_data, n_seq)
-    mesh = Mesh(arr, (DATA_AXIS, SEQ_AXIS))
+    if n_data * n_seq * n_model != len(devices):
+        raise ValueError(f"mesh {n_data}x{n_seq}x{n_model} != "
+                         f"{len(devices)} devices")
+    if n_model > 1:
+        arr = np.asarray(devices).reshape(n_data, n_seq, n_model)
+        mesh = Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
+    else:
+        arr = np.asarray(devices).reshape(n_data, n_seq)
+        mesh = Mesh(arr, (DATA_AXIS, SEQ_AXIS))
     mode = _CP_DEFAULT if mode is None else mode
     if mode not in ("auto", "ring", "ulysses"):
         raise ValueError(f"cp mode {mode!r} not in (auto, ring, ulysses)")
