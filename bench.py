@@ -82,9 +82,14 @@ def _elapsed() -> float:
     return time.monotonic() - _T0
 
 
+_STAGE = {"msg": "startup"}  # last heartbeat, for the watchdog's autopsy
+_LAST_RESULT: dict = {}  # last emitted row, re-emitted by the watchdog
+
+
 def _hb(msg: str) -> None:
     """Heartbeat: timestamped stderr line between dispatches, so a hung
     artifact still shows WHERE it hung."""
+    _STAGE["msg"] = msg
     print(f"[bench +{_elapsed():7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
@@ -92,7 +97,45 @@ def _emit(result: dict) -> None:
     """Print the CURRENT result as one complete, self-contained JSON
     line. Called after every leg; the driver takes the last line, so a
     later stall costs only the legs that never ran."""
+    _LAST_RESULT.clear()
+    _LAST_RESULT.update(result)
     print(json.dumps(result), flush=True)
+
+
+def _start_watchdog() -> None:
+    """The leg/total budget checks run BETWEEN dispatches, so a single
+    blocking call (a remote compile, the first dispatch of a fresh
+    grant, a mid-loop grant wedge) can hold the main thread past every
+    deadline — exactly how BENCH_r04 ended rc=124 with zero output.
+    This daemon thread cannot unblock the tunnel, but it (a) heartbeats
+    once a minute so the log shows the hang's location, and (b) at
+    TOTAL_BUDGET_S + 120 re-emits the last self-contained result row
+    with an "error" note and hard-exits — the driver always gets a
+    parseable final line."""
+    import threading
+
+    deadline = TOTAL_BUDGET_S + 120.0
+
+    def run() -> None:
+        while True:
+            time.sleep(60)
+            el = _elapsed()
+            print(f"[bench watchdog +{el:7.1f}s] alive; last stage: "
+                  f"{_STAGE['msg']}", file=sys.stderr, flush=True)
+            if el > deadline:
+                row = dict(_LAST_RESULT) or {
+                    "metric": "vtp-large 256px roundtrip throughput",
+                    "value": None, "unit": "images/sec/chip",
+                    "vs_baseline": None,
+                }
+                row["error"] = (
+                    f"watchdog: total budget ({TOTAL_BUDGET_S:.0f}s + 120s "
+                    f"slack) exceeded while blocked at: {_STAGE['msg']}"
+                )[:300]
+                print(json.dumps(row), flush=True)
+                os._exit(3)
+
+    threading.Thread(target=run, daemon=True, name="bench-watchdog").start()
 
 
 def _min_wall_rate(walls, per_iter_items: float) -> dict:
@@ -516,6 +559,15 @@ def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "20"))
     mode = os.environ.get("BENCH_MODE", "roundtrip")
+    # bootstrap row: the artifact parses even if the very first
+    # compile/dispatch wedges past the driver's own timeout (the
+    # watchdog upgrades this with the hang location).
+    _emit({
+        "metric": f"{preset} 256px {mode} throughput",
+        "value": None, "unit": "images/sec/chip", "vs_baseline": None,
+        "error": "startup: no leg completed yet",
+    })
+    _start_watchdog()
     if mode == "train":
         return bench_train()
     if mode == "dit":
