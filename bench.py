@@ -412,14 +412,14 @@ def bench_train() -> None:
 
     r = measure_train(preset=preset, batch=batch, iters=iters, ssl=ssl,
                       remat=remat, unroll=unroll)
-    print(json.dumps({
+    _emit({
         "metric": (f"{preset} 256px {r['step']} train step throughput "
                    f"(remat={r['remat']}); vs_baseline = fraction of the "
                    f"analytic bf16 matmul speed-of-light for this step+policy"),
         "value": r["imgs_per_sec"],
         "unit": "images/sec/chip",
         "vs_baseline": r["vs_matmul_sol"],
-    }))
+    })
 
 
 def dit_train_sol_samples_per_sec(cfg, remat="attn") -> float:
@@ -541,7 +541,7 @@ def bench_dit() -> None:
         iters=int(os.environ.get("BENCH_ITERS", "8")),
         accum=int(os.environ.get("BENCH_ACCUM", "8")),
     )
-    print(json.dumps({
+    _emit({
         "metric": ("DiT-XL/1 f16d64 train-step throughput (bf16, adaLN-zero, "
                    f"flow transport, accum={r.get('accum', 1)}); vs_baseline "
                    "= fraction of the analytic bf16 matmul speed-of-light "
@@ -549,7 +549,7 @@ def bench_dit() -> None:
         "value": r["imgs_per_sec"],
         "unit": "samples/sec/chip",
         "vs_baseline": r["vs_matmul_sol"],
-    }))
+    })
 
 
 def main() -> None:

@@ -371,3 +371,26 @@ def test_train_step_tp_head_major(kernels):
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-3, rtol=5e-3),
         tr, th,
     )
+
+
+def test_serve_tp_head_major_invalidates_prior_jit(rng):
+    """Regression: jit entries created BEFORE VTPServer permutes the
+    params closed over the canonical-layout config and would slice the
+    permuted qkv columns as [Q|K|V] — VTPServer must clear the model's
+    jit cache when it applies the head-major layout."""
+    from tests.test_serve import TINY as STINY
+    from vtp_tpu.models.vtp_model import VTPModel
+    from vtp_tpu.serve import VTPServer
+
+    img = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+    model = VTPModel.init(jax.random.key(0), STINY, encode_dtype=None)
+    want = np.asarray(model.get_reconstruction_latents(img))  # caches jit
+    assert model._jitted, "expected a populated jit cache before the server"
+
+    srv = VTPServer(model, batch_size=4, max_wait_ms=20, warmup=False,
+                    mesh=make_mesh(4, 2), tp_head_major=True)
+    try:
+        got = srv.submit_encode(img).result(timeout=300)
+    finally:
+        srv.shutdown()
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)

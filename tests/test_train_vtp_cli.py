@@ -117,6 +117,12 @@ def test_train_vtp_cli_end_to_end(image_dir, tmp_path):
     # restore path runs without touching the jit cache)
     train_vtp.main(argv + ["--resume"])
     assert latest_train_state_step(out) == 2
+    # resuming with a DIFFERENT qkv layout must be refused: the
+    # head-major permutation is shape/dtype-identical to canonical, so
+    # only the train_meta.json sidecar can catch it (silent Q/K/V
+    # column misinterpretation otherwise)
+    with pytest.raises(SystemExit, match="layout mismatch"):
+        train_vtp.main(argv + ["--resume", "--tp_head_major"])
 
 
 def _tiny_config_json(tmp_path) -> str:

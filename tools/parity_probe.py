@@ -181,11 +181,21 @@ def _probe_in_subprocess(preset: str, batch: int) -> dict:
     import subprocess
     import sys as _sys
 
-    proc = subprocess.run(
-        [_sys.executable, "-u", os.path.abspath(__file__),
-         "--preset", preset, "--batch", str(batch), "--emit-row"],
-        capture_output=True, text=True, timeout=1800,
-    )
+    # No subprocess timeout ON PURPOSE: on expiry subprocess.run
+    # SIGKILLs the child, and killing the process that holds the
+    # exclusive TPU grant wedges the grant for 10-50 min (CLAUDE.md) —
+    # poisoning every remaining preset. A wedged probe resolves on its
+    # own; the caller's own wall clock bounds the total run instead.
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-u", os.path.abspath(__file__),
+             "--preset", preset, "--batch", str(batch), "--emit-row"],
+            capture_output=True, text=True,
+        )
+    except Exception as e:  # keep the remaining presets runnable
+        return {"preset": preset, "batch": batch,
+                "fails": [f"{preset}: probe subprocess failed to run: "
+                          f"{e!r}"[:220]]}
     _sys.stdout.write(proc.stdout)
     for line in proc.stdout.splitlines():
         if line.startswith(_ROW_MARK):

@@ -344,7 +344,26 @@ def main(argv=None) -> None:
 
     state = init_state(jax.random.key(args.seed), cfg, tcfg)
     start_step = 0
+    # The head-major qkv layout is shape- and dtype-identical to the
+    # canonical one, so restore_train_state cannot detect a mismatch —
+    # resuming a --tp_head_major run without the flag (or vice versa)
+    # would silently read rank-major [Q_r|K_r|V_r] columns as [Q|K|V].
+    # A sidecar records the layout the run was started with.
+    import json as _json
+
+    meta_path = os.path.join(args.out, "train_meta.json")
+    want_hm = tcfg.tp_head_major
     if args.resume and latest_train_state_step(args.out) is not None:
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                saved_hm = int(_json.load(f).get("qkv_head_major", 1))
+            if saved_hm != want_hm:
+                raise SystemExit(
+                    f"--resume layout mismatch: {args.out} was trained with "
+                    f"qkv_head_major={saved_hm} but this run requests "
+                    f"{want_hm} (--tp_head_major and the model-axis size "
+                    f"must match the original run; the permuted layout is "
+                    f"shape-identical, so this cannot be auto-detected)")
         state = restore_train_state(args.out, state)
         start_step = int(state["step"])
         print(f"[train_vtp] resumed from step {start_step}")
@@ -417,6 +436,8 @@ def main(argv=None) -> None:
     key = jax.random.fold_in(jax.random.key(args.seed + 2), start_step)
 
     os.makedirs(args.out, exist_ok=True)
+    with open(meta_path, "w") as f:
+        _json.dump({"qkv_head_major": want_hm}, f)
     t0 = time.time()
     imgs = 0
     for step in range(start_step, args.steps):

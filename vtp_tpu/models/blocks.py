@@ -22,7 +22,6 @@ TPU-first design choices:
 from __future__ import annotations
 
 import dataclasses
-import os
 from typing import List, Optional, Sequence, Tuple, Union
 
 import jax

@@ -26,7 +26,6 @@ the same mean / masked-sum reductions over the per-row CE.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax

@@ -200,7 +200,11 @@ def pipeline_apply(
 
         tracing = not _core.trace_state_clean()
     except Exception:  # pragma: no cover - jax internals moved
-        tracing = True
+        # Safe default is to JIT: a nested jit under an enclosing trace
+        # is legal (it inlines), whereas skipping the jit in eager mode
+        # breaks remat's closed_call outside a trace. The cost is only
+        # the eager convenience path's per-call retrace.
+        tracing = False
     if tracing:
         # already under an enclosing jit (the training step): no inner
         # jit needed — avoids the per-call retrace the round-4 advisor

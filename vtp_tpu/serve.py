@@ -100,6 +100,10 @@ class VTPServer:
                     )
                     model.config = _dc.replace(
                         model.config, vision_qkv_head_major=n_model)
+                    # jit entries created before this permute closed over
+                    # the canonical-layout config and would slice the
+                    # permuted qkv columns as [Q|K|V] — silently wrong.
+                    model._jitted.clear()
                 elif model.config.vision_qkv_head_major != n_model:
                     raise ValueError(
                         f"checkpoint layout vision_qkv_head_major="
