@@ -22,6 +22,7 @@ Design notes (TPU-first, not a port):
 
 from vtp_tpu.config import VTPConfig, vtp_small, vtp_base, vtp_large
 from vtp_tpu.models.vtp_model import VTPModel
+from vtp_tpu.tokenizers import SimpleTokenizer, get_tokenizer
 
 __version__ = "0.1.0"
 
@@ -31,4 +32,6 @@ __all__ = [
     "vtp_small",
     "vtp_base",
     "vtp_large",
+    "SimpleTokenizer",
+    "get_tokenizer",
 ]
