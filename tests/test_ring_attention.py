@@ -280,3 +280,50 @@ def test_cp_mode_forces_ring():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
     )
+
+
+def test_ring_backward_saves_only_flash_residuals():
+    """The custom ring VJP (ops/ring_attention._ring_sdpa_bwd) must keep
+    the backward at 1/S token liveness: exactly {q, k, v, o, lse} home
+    shards saved, with the adjoint re-running its own KV ring. Naive
+    autodiff of the forward scan saves stacked per-step residuals —
+    including the (S, B, Nl, H, S*Nl) score/probability matrices, i.e.
+    O(N^2/S) per chip (measured: 16 residuals, ~2.4 MB at this toy shape
+    vs 40 KB for the custom path). Guard both the count and the bytes so
+    a regression to autodiff (or a residual leak) fails loudly."""
+    import contextlib
+    import io
+    import re
+
+    from jax.ad_checkpoint import print_saved_residuals
+    from vtp_tpu.ops.ring_attention import ring_attention_bnhd
+
+    mesh = _mesh()
+    q, k, v = _qkv(b=2, n=64, h=2, d=8, dtype=jnp.bfloat16)  # Nl=8
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        print_saved_residuals(
+            lambda a, b, c: ring_attention_bnhd(a, b, c, mesh=mesh), q, k, v
+        )
+    res = [
+        ln.split()[0] for ln in buf.getvalue().splitlines() if ln.strip()
+    ]  # e.g. "bf16[2,64,2,8] from the argument a"
+    assert len(res) == 5, res  # q, k, v, o, lse — nothing else
+    # stacked per-step saves carry a leading scan dim (5-d) — none may
+    # survive, and no (.., N, .., N) score/probability save either
+    for shape in res:
+        dims = [int(d) for d in re.search(r"\[([0-9,]*)\]", shape).group(1)
+                .split(",") if d]
+        assert len(dims) <= 4, res
+        assert dims.count(64) <= 1, res  # no (N, N) score matrix
+
+    def loss(q, k, v):
+        return jnp.sum(
+            ring_attention_bnhd(q, k, v, mesh=mesh).astype(jnp.float32) ** 2
+        )
+
+    dq, dk, dv = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    for g in (dq, dk, dv):
+        assert g.dtype == jnp.bfloat16
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))

@@ -7,12 +7,14 @@ one GPU holds) the (N, N) score matrix and the KV stream outgrow one
 chip. Ring attention (Liu et al. 2023, arXiv:2310.01889) shards Q/K/V
 over a ``seq`` mesh axis and rotates the K/V shards around the ring
 with ``jax.lax.ppermute`` while accumulating the softmax online —
-the FORWARD ever holds 1/S of the tokens per chip: Q resident, one
-rotating (N/S) KV block, an (N/S, N/S) score block, with the rotation
-overlapping compute on ICI. Under ``jax.grad`` the ``lax.scan`` carries
-``k_blk``/``v_blk``, so the backward saves all S rotated KV shards —
-full K/V per chip (still only (N/S, N/S) scores); wrap the model in a
-remat policy if the saved KV stream is the memory wall at your N.
+each chip ever holds 1/S of the tokens: Q resident, one rotating (N/S)
+KV block, an (N/S, N/S) score block, with the rotation overlapping
+compute on ICI. The BACKWARD holds the same 1/S (round-5): a custom
+VJP saves only the home q/k/v shards + output + per-row log-sum-exp
+and runs the flash-attention adjoint as its own ppermute ring, dK/dV
+accumulators traveling with their blocks (``_ring_sdpa_bwd``) — naive
+autodiff of the forward scan would save all S rotated KV shards (full
+K/V per chip), defeating the memory scaling CP exists for.
 
 Pure-JAX online-softmax accumulation (the flash-attention recurrence),
 so it is differentiable end-to-end and XLA fuses the rescale chain;
@@ -47,18 +49,19 @@ from vtp_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQ_AXIS, mesh_axis_siz
 _NEG_BIG = -1e30
 
 
-def _ring_attention_local(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    *,
-    axis: str,
-    scale: float,
-    n_valid: int = 0,
-) -> jax.Array:
-    """Per-device body (inside shard_map): q/k/v are (B, Nl, H, D)
-    token shards; K/V rotate S times around the ring. ``n_valid`` masks
-    GLOBAL key columns >= n_valid (token-alignment padding)."""
+def _global_col_mask(s, t, dev, n_dev, Nl, n_valid):
+    """Mask GLOBAL key columns >= n_valid: after t rotations this device
+    holds the KV shard that started on device (dev - t) mod S, i.e. the
+    global column offset of the resident block."""
+    src = jax.lax.rem(dev - t + n_dev, n_dev)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3) + src * Nl
+    return jnp.where(col < n_valid, s, -jnp.inf)
+
+
+def _ring_scan_fwd(q, k, v, *, axis, scale, n_valid):
+    """Forward ring: online-softmax over S rotating KV blocks. Returns
+    the normalized output AND the per-row log-sum-exp (the flash
+    residual the custom backward reconstructs probabilities from)."""
     n_dev = jax.lax.axis_size(axis)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     B, Nl, H, D = q.shape
@@ -72,11 +75,7 @@ def _ring_attention_local(
             "bqhd,bkhd->bqhk", qf, k_blk.astype(jnp.float32)
         ) * scale
         if n_valid:
-            # after t rotations this device holds the KV shard that
-            # started on device (dev - t) mod S => global column offset
-            src = jax.lax.rem(dev - t + n_dev, n_dev)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3) + src * Nl
-            s = jnp.where(col < n_valid, s, -jnp.inf)
+            s = _global_col_mask(s, t, dev, n_dev, Nl, n_valid)
         m_new = jnp.maximum(m, jnp.maximum(s.max(axis=-1), _NEG_BIG))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new[..., None])
@@ -95,7 +94,82 @@ def _ring_attention_local(
     (acc, m, l, _, _), _ = jax.lax.scan(
         step, (acc0, m0, l0, k, v), jnp.arange(n_dev)
     )
-    return (acc / l[..., None]).astype(q.dtype)
+    return (acc / l[..., None]).astype(q.dtype), m + jnp.log(l)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _ring_sdpa(axis, scale, n_valid, q, k, v):
+    o, _ = _ring_scan_fwd(q, k, v, axis=axis, scale=scale, n_valid=n_valid)
+    return o
+
+
+def _ring_sdpa_fwd(axis, scale, n_valid, q, k, v):
+    o, lse = _ring_scan_fwd(q, k, v, axis=axis, scale=scale, n_valid=n_valid)
+    return o, (q, k, v, o, lse)
+
+
+def _ring_sdpa_bwd(axis, scale, n_valid, res, do):
+    """Backward ring (flash-attention adjoint run as its own ppermute
+    ring): dK/dV accumulators travel WITH their K/V blocks, so after S
+    rotations each block's gradient lands back on its home device with
+    contributions from every query shard. Per-chip liveness is 1/S of
+    the tokens — q/o/do/lse resident, four rotating (N/S) blocks, one
+    (N/S, N/S) score block — matching the forward's scaling (the naive
+    autodiff of the forward scan saved all S rotated KV shards)."""
+    q, k, v, o, lse = res
+    n_dev = jax.lax.axis_size(axis)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    dev = jax.lax.axis_index(axis)
+    B, Nl, H, D = q.shape
+    qf = q.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    # delta_i = dO_i . O_i — the softmax-normalization adjoint term
+    delta = jnp.sum(dof * o.astype(jnp.float32), axis=-1)  # (B, Nl, H)
+
+    def step(carry, t):
+        dq, k_blk, v_blk, dk_blk, dv_blk = carry
+        kf = k_blk.astype(jnp.float32)
+        s = jnp.einsum("bqhd,bkhd->bqhk", qf, kf) * scale
+        if n_valid:
+            s = _global_col_mask(s, t, dev, n_dev, Nl, n_valid)
+        # probabilities reconstructed from the saved global lse
+        p = jnp.exp(s - lse[..., None])
+        dv_blk = dv_blk + jnp.einsum("bqhk,bqhd->bkhd", p, dof)
+        dp = jnp.einsum("bqhd,bkhd->bqhk", dof, v_blk.astype(jnp.float32))
+        ds = p * (dp - delta[..., None]) * scale
+        dq = dq + jnp.einsum("bqhk,bkhd->bqhd", ds, kf)
+        dk_blk = dk_blk + jnp.einsum("bqhk,bqhd->bkhd", ds, qf)
+        k_blk = jax.lax.ppermute(k_blk, axis, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis, perm)
+        dk_blk = jax.lax.ppermute(dk_blk, axis, perm)
+        dv_blk = jax.lax.ppermute(dv_blk, axis, perm)
+        return (dq, k_blk, v_blk, dk_blk, dv_blk), None
+
+    dq0 = jnp.zeros((B, Nl, H, D), jnp.float32)
+    z0 = jnp.zeros((B, Nl, H, D), jnp.float32)
+    (dq, _, _, dk, dv), _ = jax.lax.scan(
+        step, (dq0, k, v, z0, z0), jnp.arange(n_dev)
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_ring_sdpa.defvjp(_ring_sdpa_fwd, _ring_sdpa_bwd)
+
+
+def _ring_attention_local(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    axis: str,
+    scale: float,
+    n_valid: int = 0,
+) -> jax.Array:
+    """Per-device body (inside shard_map): q/k/v are (B, Nl, H, D)
+    token shards; K/V rotate S times around the ring. ``n_valid`` masks
+    GLOBAL key columns >= n_valid (token-alignment padding). Custom VJP:
+    the backward runs its own KV ring (see :func:`_ring_sdpa_bwd`)."""
+    return _ring_sdpa(axis, scale, n_valid, q, k, v)
 
 
 def ring_supported(q: jax.Array, mesh, n_valid: int = 0) -> bool:
